@@ -1,0 +1,236 @@
+"""Convert HuggingFace / torch checkpoints to this framework's param pytrees.
+
+The reference loads five torch checkpoint families (SURVEY.md section 7 "weight
+conversion fidelity"): Qwen2/Llama LLM, SigLIP, DINOv2, BEATs, and the BERT
+Q-Former (plus extras: query_proj / vision_proj / frame_seg / image_newline /
+vision_query / SVA samplers / projectors).  Each converter below maps a flat
+``state_dict`` (name -> numpy array) into our stacked-layer pytrees.
+
+Torch is only imported lazily (CPU wheel, used as a checkpoint reader —
+never on the compute path).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+from ..config import BeatsConfig, LMConfig, QFormerConfig, ViTConfig
+
+
+Array = np.ndarray
+StateDict = Mapping[str, Array]
+
+
+def load_torch_state_dict(path: str) -> Dict[str, Array]:
+    """Read a .bin/.pt/.safetensors checkpoint into numpy arrays."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return dict(load_file(path))
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "model" in sd and isinstance(sd["model"], dict):
+        sd = sd["model"]  # BEATs checkpoints nest under "model"
+    return {k: v.to(torch.float32).numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+
+
+def _lin(sd: StateDict, prefix: str, bias: bool = True) -> Dict[str, Array]:
+    p = {"w": np.ascontiguousarray(sd[prefix + ".weight"].T)}
+    if bias and prefix + ".bias" in sd:
+        p["b"] = sd[prefix + ".bias"]
+    return p
+
+
+def _stack(trees):
+    """Stack a list of identical pytrees along a new leading axis."""
+    import jax
+
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs, 0), *trees)
+
+
+# ---------------------------------------------------------------------------
+# LLM (Qwen2 / Llama): HF "model.layers.N.*" layout
+# ---------------------------------------------------------------------------
+
+
+def convert_lm(sd: StateDict, cfg: LMConfig, prefix: str = "model.") -> Dict[str, Any]:
+    layers = []
+    for i in range(cfg.num_layers):
+        lp = f"{prefix}layers.{i}."
+        layers.append(
+            {
+                "input_norm": {"scale": sd[lp + "input_layernorm.weight"]},
+                "q_proj": _lin(sd, lp + "self_attn.q_proj"),
+                "k_proj": _lin(sd, lp + "self_attn.k_proj"),
+                "v_proj": _lin(sd, lp + "self_attn.v_proj"),
+                "o_proj": _lin(sd, lp + "self_attn.o_proj", bias=False),
+                "post_attn_norm": {"scale": sd[lp + "post_attention_layernorm.weight"]},
+                "mlp": {
+                    "gate": _lin(sd, lp + "mlp.gate_proj", bias=False),
+                    "up": _lin(sd, lp + "mlp.up_proj", bias=False),
+                    "down": _lin(sd, lp + "mlp.down_proj", bias=False),
+                },
+            }
+        )
+    params = {
+        "embed": {"embedding": sd[prefix + "embed_tokens.weight"]},
+        "layers": _stack(layers),
+        "final_norm": {"scale": sd[prefix + "norm.weight"]},
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = {"w": np.ascontiguousarray(sd["lm_head.weight"].T)}
+    return params
+
+
+# ---------------------------------------------------------------------------
+# SigLIP vision tower: HF "vision_model.*" layout
+# ---------------------------------------------------------------------------
+
+
+def convert_siglip(sd: StateDict, cfg: ViTConfig, prefix: str = "vision_model.") -> Dict[str, Any]:
+    layers = []
+    for i in range(cfg.num_layers):
+        lp = f"{prefix}encoder.layers.{i}."
+        layers.append(
+            {
+                "norm1": {
+                    "scale": sd[lp + "layer_norm1.weight"],
+                    "bias": sd[lp + "layer_norm1.bias"],
+                },
+                "q_proj": _lin(sd, lp + "self_attn.q_proj"),
+                "k_proj": _lin(sd, lp + "self_attn.k_proj"),
+                "v_proj": _lin(sd, lp + "self_attn.v_proj"),
+                "o_proj": _lin(sd, lp + "self_attn.out_proj"),
+                "norm2": {
+                    "scale": sd[lp + "layer_norm2.weight"],
+                    "bias": sd[lp + "layer_norm2.bias"],
+                },
+                "mlp": {
+                    "fc1": _lin(sd, lp + "mlp.fc1"),
+                    "fc2": _lin(sd, lp + "mlp.fc2"),
+                },
+            }
+        )
+    # HF conv patch embed: [H, 3, P, P] -> dense [P*P*3, H] on flattened patches.
+    conv_w = sd[prefix + "embeddings.patch_embedding.weight"]
+    h, c, p, _ = conv_w.shape
+    patch_w = conv_w.transpose(2, 3, 1, 0).reshape(p * p * c, h)
+    return {
+        "patch_embed": {"w": patch_w, "b": sd[prefix + "embeddings.patch_embedding.bias"]},
+        "pos_embed": sd[prefix + "embeddings.position_embedding.weight"],
+        "layers": _stack(layers),
+        "final_norm": {
+            "scale": sd[prefix + "post_layernorm.weight"],
+            "bias": sd[prefix + "post_layernorm.bias"],
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# DINOv2 tower: HF "embeddings/encoder.layer.N" layout
+# ---------------------------------------------------------------------------
+
+
+def convert_dinov2(sd: StateDict, cfg: ViTConfig, prefix: str = "") -> Dict[str, Any]:
+    layers = []
+    for i in range(cfg.num_layers):
+        lp = f"{prefix}encoder.layer.{i}."
+        layer = {
+            "norm1": {"scale": sd[lp + "norm1.weight"], "bias": sd[lp + "norm1.bias"]},
+            "q_proj": _lin(sd, lp + "attention.attention.query"),
+            "k_proj": _lin(sd, lp + "attention.attention.key"),
+            "v_proj": _lin(sd, lp + "attention.attention.value"),
+            "o_proj": _lin(sd, lp + "attention.output.dense"),
+            "norm2": {"scale": sd[lp + "norm2.weight"], "bias": sd[lp + "norm2.bias"]},
+            "ls1": sd[lp + "layer_scale1.lambda1"],
+            "ls2": sd[lp + "layer_scale2.lambda1"],
+        }
+        if cfg.use_swiglu:
+            layer["mlp"] = {
+                "gate_up": _lin(sd, lp + "mlp.weights_in"),
+                "down": _lin(sd, lp + "mlp.weights_out"),
+            }
+        else:
+            layer["mlp"] = {
+                "fc1": _lin(sd, lp + "mlp.fc1"),
+                "fc2": _lin(sd, lp + "mlp.fc2"),
+            }
+        layers.append(layer)
+    conv_w = sd[prefix + "embeddings.patch_embeddings.projection.weight"]
+    h, c, p, _ = conv_w.shape
+    patch_w = conv_w.transpose(2, 3, 1, 0).reshape(p * p * c, h)
+    return {
+        "patch_embed": {
+            "w": patch_w,
+            "b": sd[prefix + "embeddings.patch_embeddings.projection.bias"],
+        },
+        "cls_token": sd[prefix + "embeddings.cls_token"][0],
+        "pos_embed": sd[prefix + "embeddings.position_embeddings"][0],
+        "layers": _stack(layers),
+        "final_norm": {
+            "scale": sd[prefix + "layernorm.weight"],
+            "bias": sd[prefix + "layernorm.bias"],
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# BERT Q-Former: reference tdc/Qformer.py ("bert.encoder.layer.N" layout)
+# ---------------------------------------------------------------------------
+
+
+def convert_qformer(sd: StateDict, cfg: QFormerConfig, prefix: str = "bert.") -> Dict[str, Any]:
+    def attn(lp: str, kind: str) -> Dict[str, Any]:
+        ap = f"{lp}{kind}."
+        out = "output." if kind == "attention" else "output."
+        return {
+            "q_proj": _lin(sd, ap + "self.query"),
+            "k_proj": _lin(sd, ap + "self.key"),
+            "v_proj": _lin(sd, ap + "self.value"),
+            "o_proj": _lin(sd, ap + out + "dense"),
+            "norm": {
+                "scale": sd[ap + out + "LayerNorm.weight"],
+                "bias": sd[ap + out + "LayerNorm.bias"],
+            },
+        }
+
+    layers = []
+    for i in range(cfg.num_layers):
+        lp = f"{prefix}encoder.layer.{i}."
+        layer = {"self_attn": attn(lp, "attention")}
+        if i % cfg.cross_attention_freq == 0:
+            layer["cross_attn"] = attn(lp, "crossattention")
+        else:  # keep the scan-stacked tree homogeneous; zeros are never used
+            layer["cross_attn"] = None
+        layer["ffn"] = {
+            "fc1": _lin(sd, lp + "intermediate.dense"),
+            "fc2": _lin(sd, lp + "output.dense"),
+            "norm": {
+                "scale": sd[lp + "output.LayerNorm.weight"],
+                "bias": sd[lp + "output.LayerNorm.bias"],
+            },
+        }
+        layer["ffn_query"] = {
+            "fc1": _lin(sd, lp + "intermediate_query.dense"),
+            "fc2": _lin(sd, lp + "output_query.dense"),
+            "norm": {
+                "scale": sd[lp + "output_query.LayerNorm.weight"],
+                "bias": sd[lp + "output_query.LayerNorm.bias"],
+            },
+        }
+        layers.append(layer)
+
+    return {
+        "embeddings": {
+            "word": sd[prefix + "embeddings.word_embeddings.weight"],
+            "position": sd[prefix + "embeddings.position_embeddings.weight"],
+            "norm": {
+                "scale": sd[prefix + "embeddings.LayerNorm.weight"],
+                "bias": sd[prefix + "embeddings.LayerNorm.bias"],
+            },
+        },
+        "layers": layers,  # list (cross layers differ) — consumed without scan
+    }

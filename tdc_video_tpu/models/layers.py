@@ -1,0 +1,195 @@
+"""Shared functional building blocks.
+
+All modules in this framework are pure functions over parameter pytrees
+(nested dicts of jnp arrays).  `init_*` functions build the tree, `*_apply`
+functions consume it.  This keeps everything trivially compatible with
+jax.jit / pjit / shard_map and makes weight conversion from the torch
+reference checkpoints a plain tree-mapping exercise.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+Params = Any  # nested dict of arrays
+
+
+# ---------------------------------------------------------------------------
+# Initializers
+# ---------------------------------------------------------------------------
+
+
+def normal_init(key, shape, dtype, stddev=0.02):
+    return (jax.random.normal(key, shape, jnp.float32) * stddev).astype(dtype)
+
+
+def lecun_init(key, shape, dtype):
+    fan_in = shape[0] if len(shape) >= 2 else max(1, shape[-1])
+    return (jax.random.normal(key, shape, jnp.float32) / math.sqrt(fan_in)).astype(dtype)
+
+
+def init_linear(key, d_in, d_out, dtype, bias=True, stddev=None):
+    kw, _ = jax.random.split(key)
+    w = (
+        normal_init(kw, (d_in, d_out), dtype, stddev)
+        if stddev is not None
+        else lecun_init(kw, (d_in, d_out), dtype)
+    )
+    p = {"w": w}
+    if bias:
+        p["b"] = jnp.zeros((d_out,), dtype)
+    return p
+
+
+def linear(p: Params, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
+    w = p["w"]
+    if dtype is not None:
+        w = w.astype(dtype)
+        x = x.astype(dtype)
+    y = x @ w
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y
+
+
+def init_layer_norm(d, dtype):
+    return {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)}
+
+
+def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def init_rms_norm(d, dtype):
+    return {"scale": jnp.ones((d,), dtype)}
+
+
+def rms_norm(p: Params, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    y = xf * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"].astype(jnp.float32)).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# MLPs
+# ---------------------------------------------------------------------------
+
+
+def init_gelu_mlp(key, d_model, d_ff, dtype, bias=True):
+    k1, k2 = jax.random.split(key)
+    return {
+        "fc1": init_linear(k1, d_model, d_ff, dtype, bias=bias),
+        "fc2": init_linear(k2, d_ff, d_model, dtype, bias=bias),
+    }
+
+
+def gelu_mlp(p: Params, x: jnp.ndarray, approximate: bool = True) -> jnp.ndarray:
+    h = linear(p["fc1"], x)
+    h = jax.nn.gelu(h, approximate=approximate)
+    return linear(p["fc2"], h)
+
+
+def init_swiglu_mlp(key, d_model, d_ff, dtype, bias=False):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "gate": init_linear(k1, d_model, d_ff, dtype, bias=bias),
+        "up": init_linear(k2, d_model, d_ff, dtype, bias=bias),
+        "down": init_linear(k3, d_ff, d_model, dtype, bias=bias),
+    }
+
+
+def swiglu_mlp(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    return linear(p["down"], jax.nn.silu(linear(p["gate"], x)) * linear(p["up"], x))
+
+
+# ---------------------------------------------------------------------------
+# Rotary position embeddings
+# ---------------------------------------------------------------------------
+
+
+def rope_inv_freq(
+    head_dim: int,
+    theta: float,
+    scaling: Optional[Tuple[float, float, float, int]] = None,
+) -> jnp.ndarray:
+    """Inverse frequencies, with optional Llama-3-style NTK-by-parts scaling."""
+    inv = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    if scaling is not None:
+        factor, low_ff, high_ff, orig_ctx = scaling
+        low_wl = orig_ctx / low_ff
+        high_wl = orig_ctx / high_ff
+        wl = 2.0 * jnp.pi / inv
+        smooth = (orig_ctx / wl - low_ff) / (high_ff - low_ff)
+        smooth = jnp.clip(smooth, 0.0, 1.0)
+        scaled = jnp.where(
+            wl > low_wl,
+            inv / factor,
+            jnp.where(wl < high_wl, inv, (1 - smooth) * inv / factor + smooth * inv),
+        )
+        inv = scaled
+    return inv
+
+
+def rope_cos_sin(positions: jnp.ndarray, inv_freq: jnp.ndarray):
+    """positions [*, T] -> cos/sin [*, T, head_dim] (half-rotation layout)."""
+    freqs = positions[..., None].astype(jnp.float32) * inv_freq
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """x [..., T, H, D]; cos/sin [..., T, D] (broadcast over heads)."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    cos = cos[..., None, :]
+    sin = sin[..., None, :]
+    return (x.astype(jnp.float32) * cos + rotated.astype(jnp.float32) * sin).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Attention (XLA path; the Pallas flash kernel lives in ops/flash_attention.py
+# and is dispatched by models/attention.py)
+# ---------------------------------------------------------------------------
+
+
+def sdpa(
+    q: jnp.ndarray,  # [B, T, Hq, D]
+    k: jnp.ndarray,  # [B, S, Hkv, D]
+    v: jnp.ndarray,  # [B, S, Hkv, D]
+    mask: Optional[jnp.ndarray] = None,  # broadcastable to [B, Hq, T, S], True = keep
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Grouped-query scaled dot-product attention with f32 softmax."""
+    B, T, Hq, D = q.shape
+    S, Hkv = k.shape[1], k.shape[2]
+    if scale is None:
+        scale = 1.0 / math.sqrt(D)
+    group = Hq // Hkv
+    qg = q.reshape(B, T, Hkv, group, D)
+    logits = jnp.einsum("bthgd,bshd->bhgts", qg, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if mask is not None:
+        m = jnp.broadcast_to(mask, (B, Hq, T, S)).reshape(B, Hkv, group, T, S)
+        logits = jnp.where(m, logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhgts,bshd->bthgd", probs.astype(v.dtype), v)
+    return out.reshape(B, T, Hq, D)
+
+
+def make_causal_mask(T: int, S: int, offset: int = 0) -> jnp.ndarray:
+    """[T, S] boolean mask; query i attends keys j <= i + offset."""
+    qi = jax.lax.broadcasted_iota(jnp.int32, (T, S), 0)
+    kj = jax.lax.broadcasted_iota(jnp.int32, (T, S), 1)
+    return kj <= qi + offset

@@ -1,0 +1,328 @@
+"""Decoder-only language model core (Qwen2 / Llama-3.x).
+
+One GQA + SwiGLU + RMSNorm decoder serves both reference LLM wrappers
+(tdc/language_model/cambrian_qwen.py and cambrian_llama.py) — they differ only
+in hyperparameters (see config.LMConfig).  TPU-first design choices:
+
+* layers are stacked on a leading axis and iterated with `lax.scan`, so the
+  28-layer 7B model compiles as one layer body (fast compiles, XLA-friendly);
+* the KV cache is a fixed-capacity buffer with explicit validity mask and
+  per-sample lengths — static shapes, no recompiles as generation proceeds;
+* attention dispatches to a Pallas flash kernel for long prefill, XLA einsum
+  otherwise (ops/flash_attention.py);
+* all reductions are f32, matmuls bf16 on the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import LMConfig
+from .attention import attention
+from .layers import (
+    apply_rope,
+    init_linear,
+    init_rms_norm,
+    init_swiglu_mlp,
+    linear,
+    normal_init,
+    rms_norm,
+    rope_cos_sin,
+    rope_inv_freq,
+    swiglu_mlp,
+)
+
+Params = Any
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def _init_layer(key, cfg: LMConfig, dtype):
+    ks = jax.random.split(key, 8)
+    bias = cfg.attention_bias
+    return {
+        "input_norm": init_rms_norm(cfg.hidden_size, dtype),
+        "q_proj": init_linear(ks[0], cfg.hidden_size, cfg.q_dim, dtype, bias=bias),
+        "k_proj": init_linear(ks[1], cfg.hidden_size, cfg.kv_dim, dtype, bias=bias),
+        "v_proj": init_linear(ks[2], cfg.hidden_size, cfg.kv_dim, dtype, bias=bias),
+        "o_proj": init_linear(ks[3], cfg.q_dim, cfg.hidden_size, dtype, bias=False),
+        "post_attn_norm": init_rms_norm(cfg.hidden_size, dtype),
+        "mlp": init_swiglu_mlp(ks[4], cfg.hidden_size, cfg.intermediate_size, dtype),
+    }
+
+
+def init_lm(key, cfg: LMConfig, dtype=jnp.float32) -> Params:
+    k_embed, k_layers, k_head = jax.random.split(key, 3)
+    layer_keys = jax.random.split(k_layers, cfg.num_layers)
+    # Stack per-layer params along axis 0 for lax.scan.
+    layers = jax.vmap(lambda k: _init_layer(k, cfg, dtype))(layer_keys)
+    params = {
+        "embed": {"embedding": normal_init(k_embed, (cfg.vocab_size, cfg.hidden_size), dtype)},
+        "layers": layers,
+        "final_norm": init_rms_norm(cfg.hidden_size, dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = init_linear(k_head, cfg.hidden_size, cfg.vocab_size, dtype, bias=False)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# KV cache
+# ---------------------------------------------------------------------------
+
+
+def init_kv_cache(cfg: LMConfig, batch: int, capacity: int, dtype=jnp.bfloat16) -> Dict:
+    shape = (cfg.num_layers, batch, capacity, cfg.num_kv_heads, cfg.head_dim)
+    return {
+        "k": jnp.zeros(shape, dtype),
+        "v": jnp.zeros(shape, dtype),
+        "mask": jnp.zeros((batch, capacity), jnp.bool_),  # True = valid key slot
+        "lengths": jnp.zeros((batch,), jnp.int32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _layer_forward(
+    cfg: LMConfig,
+    p: Params,
+    x: jnp.ndarray,  # [B, T, H]
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    attn_mask: Optional[jnp.ndarray],  # [B, 1, T, S] bool
+    cache_k: Optional[jnp.ndarray],  # [B, S, Hkv, D]
+    cache_v: Optional[jnp.ndarray],
+    write_pos: Optional[jnp.ndarray],  # [B, T] slot indices to write new k/v
+    attn_impl: str,
+):
+    B, T, _ = x.shape
+    h = rms_norm(p["input_norm"], x, cfg.rms_norm_eps)
+    q = linear(p["q_proj"], h).reshape(B, T, cfg.num_heads, cfg.head_dim)
+    k = linear(p["k_proj"], h).reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+    v = linear(p["v_proj"], h).reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    if cache_k is not None:
+        # Scatter new keys/values into the cache at per-sample write positions.
+        b_idx = jnp.arange(B)[:, None]
+        cache_k = cache_k.at[b_idx, write_pos].set(k.astype(cache_k.dtype))
+        cache_v = cache_v.at[b_idx, write_pos].set(v.astype(cache_v.dtype))
+        k_all, v_all = cache_k, cache_v
+    else:
+        k_all, v_all = k, v
+
+    attn = attention(q, k_all.astype(q.dtype), v_all.astype(q.dtype), attn_mask, impl=attn_impl)
+    attn = attn.reshape(B, T, cfg.q_dim)
+    x = x + linear(p["o_proj"], attn)
+
+    h2 = rms_norm(p["post_attn_norm"], x, cfg.rms_norm_eps)
+    x = x + swiglu_mlp(p["mlp"], h2)
+    return x, cache_k, cache_v
+
+
+def lm_backbone(
+    cfg: LMConfig,
+    params: Params,
+    inputs_embeds: jnp.ndarray,  # [B, T, H]
+    positions: jnp.ndarray,  # [B, T]
+    attn_mask: Optional[jnp.ndarray] = None,  # [B, 1, T, S] bool
+    cache: Optional[Dict] = None,
+    write_pos: Optional[jnp.ndarray] = None,  # [B, T]
+    attn_impl: str = "xla",
+    remat: bool = False,
+    dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, Optional[Dict]]:
+    """Run the decoder stack; returns (final hidden [B,T,H], updated cache)."""
+    x = inputs_embeds.astype(dtype)
+    inv_freq = rope_inv_freq(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
+    cos, sin = rope_cos_sin(positions, inv_freq)
+
+    layer_fn = functools.partial(_layer_forward, cfg, attn_impl=attn_impl)
+    if remat:
+        layer_fn = jax.checkpoint(layer_fn, static_argnums=())
+
+    if cache is not None:
+
+        def body(carry, scanned):
+            h = carry
+            lp, ck, cv = scanned
+            h, ck, cv = layer_fn(lp, h, cos, sin, attn_mask, ck, cv, write_pos)
+            return h, (ck, cv)
+
+        x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], cache["k"], cache["v"]))
+        cache = dict(cache, k=new_k, v=new_v)
+    else:
+
+        def body(carry, lp):
+            h = carry
+            h, _, _ = layer_fn(lp, h, cos, sin, attn_mask, None, None, None)
+            return h, None
+
+        x, _ = jax.lax.scan(body, x, params["layers"])
+
+    x = rms_norm(params["final_norm"], x, cfg.rms_norm_eps)
+    return x, cache
+
+
+def embed_tokens(cfg: LMConfig, params: Params, input_ids: jnp.ndarray, dtype=jnp.bfloat16):
+    ids = jnp.clip(input_ids, 0, cfg.vocab_size - 1)  # guard sentinel ids (<image>=-200)
+    return params["embed"]["embedding"].astype(dtype)[ids]
+
+
+def lm_head(cfg: LMConfig, params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
+    if cfg.tie_word_embeddings:
+        w = params["embed"]["embedding"].astype(hidden.dtype)
+        return jnp.einsum("bth,vh->btv", hidden, w, preferred_element_type=jnp.float32)
+    return jnp.einsum(
+        "bth,hv->btv",
+        hidden,
+        params["lm_head"]["w"].astype(hidden.dtype),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def lm_forward(
+    cfg: LMConfig,
+    params: Params,
+    input_ids: Optional[jnp.ndarray] = None,
+    inputs_embeds: Optional[jnp.ndarray] = None,
+    attention_mask: Optional[jnp.ndarray] = None,  # [B, T] bool, True = valid
+    positions: Optional[jnp.ndarray] = None,
+    attn_impl: str = "xla",
+    remat: bool = False,
+    dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Full-sequence causal forward (training / scoring).  Returns f32 logits."""
+    if inputs_embeds is None:
+        inputs_embeds = embed_tokens(cfg, params, input_ids, dtype)
+    B, T, _ = inputs_embeds.shape
+    if attention_mask is None:
+        attention_mask = jnp.ones((B, T), jnp.bool_)
+    if positions is None:
+        positions = jnp.maximum(jnp.cumsum(attention_mask.astype(jnp.int32), axis=1) - 1, 0)
+    causal = jnp.tril(jnp.ones((T, T), jnp.bool_))
+    mask = causal[None, None] & attention_mask[:, None, None, :]
+    hidden, _ = lm_backbone(
+        cfg, params, inputs_embeds, positions, mask, attn_impl=attn_impl, remat=remat, dtype=dtype
+    )
+    return lm_head(cfg, params, hidden)
+
+
+def lm_loss(
+    cfg: LMConfig,
+    params: Params,
+    inputs_embeds: jnp.ndarray,
+    labels: jnp.ndarray,  # [B, T], IGNORE_INDEX = ignored
+    attention_mask: jnp.ndarray,
+    positions: Optional[jnp.ndarray] = None,
+    attn_impl: str = "xla",
+    remat: bool = True,
+    dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Shifted cross-entropy over valid label positions (reference CE at
+    cambrian_qwen.py:374-385)."""
+    logits = lm_forward(
+        cfg,
+        params,
+        inputs_embeds=inputs_embeds,
+        attention_mask=attention_mask,
+        positions=positions,
+        attn_impl=attn_impl,
+        remat=remat,
+        dtype=dtype,
+    )
+    logits = logits[:, :-1]
+    targets = labels[:, 1:]
+    valid = targets >= 0
+    safe_targets = jnp.where(valid, targets, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    tok_ll = jnp.take_along_axis(logp, safe_targets[..., None], axis=-1)[..., 0]
+    denom = jnp.maximum(valid.sum(), 1)
+    return -(tok_ll * valid).sum() / denom
+
+
+# ---------------------------------------------------------------------------
+# Prefill / decode steps (used by serving/generate.py)
+# ---------------------------------------------------------------------------
+
+
+def prefill(
+    cfg: LMConfig,
+    params: Params,
+    inputs_embeds: jnp.ndarray,  # [B, T, H] right-padded
+    attention_mask: jnp.ndarray,  # [B, T] bool
+    cache: Dict,
+    attn_impl: str = "xla",
+    dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, Dict]:
+    """Prefill the cache; returns (last-token logits [B, V], cache)."""
+    B, T, _ = inputs_embeds.shape
+    S = cache["k"].shape[2]
+    positions = jnp.maximum(jnp.cumsum(attention_mask.astype(jnp.int32), axis=1) - 1, 0)
+    write_pos = jnp.broadcast_to(jnp.arange(T)[None], (B, T))
+    qi = jax.lax.broadcasted_iota(jnp.int32, (T, S), 0)
+    kj = jax.lax.broadcasted_iota(jnp.int32, (T, S), 1)
+    causal = (kj <= qi)[None, None]  # cache slots line up with query positions
+    mask = causal & attention_mask[:, None, None, :].astype(jnp.bool_) if T == S else None
+    if T != S:
+        key_valid = jnp.zeros((B, S), jnp.bool_).at[:, :T].set(attention_mask)
+        mask = causal & key_valid[:, None, None, :]
+    hidden, cache = lm_backbone(
+        cfg,
+        params,
+        inputs_embeds,
+        positions,
+        mask,
+        cache=cache,
+        write_pos=write_pos,
+        attn_impl=attn_impl,
+        dtype=dtype,
+    )
+    lengths = attention_mask.astype(jnp.int32).sum(-1)
+    cache["mask"] = cache["mask"].at[:, :T].set(attention_mask)
+    cache["lengths"] = lengths
+    last = jnp.take_along_axis(hidden, (lengths - 1)[:, None, None], axis=1)  # [B,1,H]
+    return lm_head(cfg, params, last)[:, 0], cache
+
+
+def decode_step(
+    cfg: LMConfig,
+    params: Params,
+    token_embeds: jnp.ndarray,  # [B, 1, H]
+    cache: Dict,
+    attn_impl: str = "xla",
+    dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, Dict]:
+    """One autoregressive step; writes at per-sample `lengths`, returns logits [B, V]."""
+    B = token_embeds.shape[0]
+    S = cache["k"].shape[2]
+    lengths = cache["lengths"]
+    positions = lengths[:, None]
+    write_pos = lengths[:, None]
+    new_mask = cache["mask"].at[jnp.arange(B), lengths].set(True)
+    attn_mask = new_mask[:, None, None, :]  # [B,1,1,S]
+    hidden, cache = lm_backbone(
+        cfg,
+        params,
+        token_embeds,
+        positions,
+        attn_mask,
+        cache=cache,
+        write_pos=write_pos,
+        attn_impl=attn_impl,
+        dtype=dtype,
+    )
+    cache["mask"] = new_mask
+    cache["lengths"] = lengths + 1
+    return lm_head(cfg, params, hidden)[:, 0], cache
