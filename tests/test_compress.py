@@ -1,0 +1,233 @@
+"""TDC compression pipeline tests.
+
+The batched static-shape pipeline (compress/tdc.py) is checked against an
+independent oracle that follows the reference Python-loop semantics
+(tdc/cambrian_arch.py:1540-1709): per-segment, per-8-frame-chunk, per-frame
+Q-Former compression, emission order, force_remove clamp, truncation.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tdc_video_tpu.config import tdc_tiny
+from tdc_video_tpu.compress import tdc as tdc_mod
+from tdc_video_tpu.compress.assembly import splice_visual
+from tdc_video_tpu.models.layers import linear
+from tdc_video_tpu.models.qformer import qformer_forward
+from tdc_video_tpu.ops.pooling import adaptive_avg_pool_tokens
+from tdc_video_tpu.ops.segment import segment_boundaries
+
+
+def _oracle_compress(cfg, params, frames, boundary, text_ids, text_mask, audio, max_visual):
+    """Reference-loop semantics, unbatched (follows cambrian_arch.py:1603-1709)."""
+    c = cfg.compression
+    K = c.context_token_num
+    T, P, H = frames.shape
+    A = 0 if audio is None else audio.shape[1]
+    # split into segments at boundaries
+    cuts = [t for t in range(T) if boundary[t]]
+    cuts = sorted(set(cuts + [0]))
+    seg_ranges = [(cuts[i], cuts[i + 1] if i + 1 < len(cuts) else T) for i in range(len(cuts))]
+
+    chunks_out = []
+    for s, e in seg_ranges:
+        seg = list(range(s, e))
+        for cs in range(0, len(seg), c.chunk_size):
+            idx = seg[cs : cs + c.chunk_size]
+            feats = frames[idx]  # [m, P, H]
+            if audio is not None:
+                feats = np.concatenate([feats, audio[idx]], axis=1)  # [m, P+A, H]
+            key = feats[0]
+            if len(idx) == 1:
+                emission = np.concatenate([key, params["frame_seg"][None]], axis=0)
+                chunks_out.append(emission)
+                continue
+            others = feats[1:]
+            pooled = np.asarray(
+                adaptive_avg_pool_tokens(jnp.asarray(frames[idx[0]][None]), K)
+            )[0]
+            query = np.asarray(linear(params["query_proj"], jnp.asarray(pooled)))
+            m = len(idx) - 1
+            out = qformer_forward(
+                cfg.qformer,
+                params["qformer"],
+                jnp.broadcast_to(jnp.asarray(query)[None], (m, K, query.shape[-1])),
+                jnp.broadcast_to(jnp.asarray(text_ids)[None], (m, len(text_ids)))
+                if text_ids is not None
+                else None,
+                jnp.broadcast_to(jnp.asarray(text_mask)[None], (m, len(text_mask)))
+                if text_ids is not None
+                else None,
+                jnp.asarray(others),
+                jnp.ones((m, P + A), jnp.bool_),
+            )
+            comp = np.asarray(linear(params["vision_proj"], out))
+            comp = comp / np.sqrt((comp**2).sum(-1, keepdims=True) + 1e-12)
+            emission = [np.concatenate([key, params["frame_seg"][None]], axis=0)]
+            for j in range(m):
+                emission.append(
+                    np.concatenate([comp[j], params["frame_seg"][None]], axis=0)
+                )
+            chunks_out.append(np.concatenate(emission, axis=0))
+
+    total = sum(len(x) for x in chunks_out)
+    if total > max_visual:
+        force_remove = -(-(total - max_visual) // len(chunks_out))
+        chunks_out = [x[:-force_remove] for x in chunks_out]
+    return np.concatenate(chunks_out, axis=0)[:max_visual]
+
+
+def _setup(T=10, P=6, audio=False, seed=0):
+    cfg = tdc_tiny(audio=audio)
+    key = jax.random.PRNGKey(seed)
+    params = tdc_mod.init_compressor(key, cfg)
+    rng = np.random.default_rng(seed)
+    H = cfg.lm.hidden_size
+    frames = rng.normal(size=(T, P, H)).astype(np.float32)
+    aud = rng.normal(size=(T, 3, H)).astype(np.float32) if audio else None
+    text_ids = np.array([5, 9, 2], np.int32)
+    text_mask = np.ones(3, bool)
+    return cfg, params, frames, aud, text_ids, text_mask
+
+
+def test_assign_chunks():
+    boundary = jnp.asarray([1, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0], bool)
+    mask = jnp.asarray([1] * 10 + [0, 0], bool)
+    cid, pos, num = tdc_mod.assign_chunks(boundary, mask, 4)
+    # seg1 = frames 0-5 -> chunks [0,1,2,3],[4,5]; seg2 = 6-9 -> [6,7,8,9]
+    np.testing.assert_array_equal(np.asarray(cid)[:10], [0, 0, 0, 0, 1, 1, 2, 2, 2, 2])
+    np.testing.assert_array_equal(np.asarray(pos)[:10], [0, 1, 2, 3, 0, 1, 0, 1, 2, 3])
+    assert int(num) == 3
+
+
+@pytest.mark.parametrize("audio", [False, True])
+@pytest.mark.parametrize("boundary_pat", ["two_seg", "every_frame", "uneven"])
+def test_compress_matches_oracle(audio, boundary_pat):
+    # "every_frame" is the short-video path: n_valid <= max_num_segments+1 (=5)
+    T = 5 if boundary_pat == "every_frame" else 10
+    P = 6
+    cfg, params, frames, aud, text_ids, text_mask = _setup(T, P, audio)
+    frames, aud = frames[:T], (aud[:T] if aud is not None else None)
+    boundary = np.zeros(T, bool)
+    if boundary_pat == "two_seg":
+        boundary[[0, 6]] = True
+    elif boundary_pat == "every_frame":
+        boundary[:] = True
+    else:
+        boundary[[0, 3, 4]] = True
+
+    max_visual = 512
+    ref = _oracle_compress(
+        cfg, jax.tree_util.tree_map(np.asarray, params), frames, boundary, text_ids, text_mask, aud, max_visual
+    )
+    got, n_vis = tdc_mod.compress_video(
+        cfg,
+        params,
+        jnp.asarray(frames),
+        jnp.ones(T, bool),
+        jnp.asarray(boundary),
+        jnp.asarray(text_ids),
+        jnp.asarray(text_mask),
+        jnp.asarray(aud) if aud is not None else None,
+        max_visual_len=max_visual,
+    )
+    assert int(n_vis) == len(ref)
+    np.testing.assert_allclose(np.asarray(got)[: len(ref)], ref, rtol=2e-5, atol=2e-5)
+    assert np.all(np.asarray(got)[len(ref) :] == 0)
+
+
+def test_compress_budget_clamp():
+    T, P = 10, 6
+    cfg, params, frames, aud, text_ids, text_mask = _setup(T, P, False)
+    boundary = np.zeros(T, bool)
+    boundary[[0, 6]] = True
+    max_visual = 20  # force the clamp
+    ref = _oracle_compress(
+        cfg, jax.tree_util.tree_map(np.asarray, params), frames, boundary, text_ids, text_mask, None, max_visual
+    )
+    got, n_vis = tdc_mod.compress_video(
+        cfg,
+        params,
+        jnp.asarray(frames),
+        jnp.ones(T, bool),
+        jnp.asarray(boundary),
+        jnp.asarray(text_ids),
+        jnp.asarray(text_mask),
+        None,
+        max_visual_len=max_visual,
+    )
+    assert int(n_vis) == len(ref) <= max_visual
+    np.testing.assert_allclose(np.asarray(got)[: len(ref)], ref, rtol=2e-5, atol=2e-5)
+
+
+def test_compress_with_padding_frames():
+    """Padded (invalid) frames must not change the output."""
+    T, P = 10, 6
+    cfg, params, frames, _, text_ids, text_mask = _setup(T, P, False)
+    boundary = np.zeros(T, bool)
+    boundary[[0, 5]] = True
+
+    got1, n1 = tdc_mod.compress_video(
+        cfg, params, jnp.asarray(frames), jnp.ones(T, bool), jnp.asarray(boundary),
+        jnp.asarray(text_ids), jnp.asarray(text_mask), None, max_visual_len=256,
+    )
+    # Same video padded to T=16 with garbage frames.
+    pad = np.concatenate([frames, 99 * np.ones((6, P, frames.shape[2]), np.float32)])
+    mask = np.concatenate([np.ones(T, bool), np.zeros(6, bool)])
+    bpad = np.concatenate([boundary, np.zeros(6, bool)])
+    got2, n2 = tdc_mod.compress_video(
+        cfg, params, jnp.asarray(pad), jnp.asarray(mask), jnp.asarray(bpad),
+        jnp.asarray(text_ids), jnp.asarray(text_mask), None, max_visual_len=256,
+    )
+    assert int(n1) == int(n2)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(got2), rtol=1e-6, atol=1e-6)
+
+
+def test_segment_boundaries_short_and_long():
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(12, 4, 8)).astype(np.float32)
+    mask = np.ones(12, bool)
+    # short: 12 valid <= max_seg+1 when max_seg=11 -> all frames boundaries
+    b = segment_boundaries(jnp.asarray(feats), jnp.asarray(mask), 11)
+    assert np.asarray(b).all()
+    # long: max_seg=3 -> 3 cuts + frame 0
+    b = segment_boundaries(jnp.asarray(feats), jnp.asarray(mask), 3)
+    arr = np.asarray(b)
+    assert arr[0]
+    # verify the cuts are the 3 smallest-similarity pairs
+    flat = feats.reshape(12, -1)
+    sims = np.array(
+        [
+            flat[i] @ flat[i + 1] / (np.linalg.norm(flat[i]) * np.linalg.norm(flat[i + 1]))
+            for i in range(11)
+        ]
+    )
+    expect = np.zeros(12, bool)
+    expect[np.argsort(sims)[:3] + 1] = True
+    expect[0] = True
+    np.testing.assert_array_equal(arr, expect)
+
+
+def test_splice_visual():
+    L, H, V, max_len = 7, 4, 10, 20
+    rng = np.random.default_rng(0)
+    text = rng.normal(size=(L, H)).astype(np.float32)
+    visual = rng.normal(size=(V, H)).astype(np.float32)
+    n_vis = 6
+    image_pos = 3
+    labels = np.arange(L, dtype=np.int32)
+    emb, mask, lab, slen = splice_visual(
+        jnp.asarray(text), image_pos, jnp.asarray(visual), jnp.asarray(n_vis), max_len,
+        jnp.asarray(labels),
+    )
+    expect = np.concatenate([text[:3], visual[:6], text[4:]], axis=0)
+    assert int(slen) == len(expect)
+    np.testing.assert_allclose(np.asarray(emb)[: len(expect)], expect, rtol=1e-6)
+    assert np.asarray(mask).sum() == len(expect)
+    lab = np.asarray(lab)
+    np.testing.assert_array_equal(lab[:3], [0, 1, 2])
+    assert (lab[3:9] == -100).all()
+    np.testing.assert_array_equal(lab[9:12], [4, 5, 6])
