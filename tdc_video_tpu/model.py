@@ -1,0 +1,311 @@
+"""Top-level TDC-Video model: towers -> SVA -> segment -> TDC -> LM.
+
+This is the TPU-native replacement for the reference's fusion core
+(tdc/cambrian_arch.py: CambrianMetaModel :47 + CambrianMetaForCausalLM :546,
+whose single choke point prepare_inputs_labels_for_multimodal :864 mixes
+Python loops, per-sample branching and dynamic shapes).  Here the pipeline is
+a chain of pure, fixed-shape, vmap-batched stages:
+
+    encode_frames    towers + SVA + newline (+frame_pos)     [T, 156, H]
+    encode_audio     fbank + BEATs + per-frame pooling       [T, 50, 768]
+    prepare_visual   segmentation + TDC compression          [Vmax, H]
+    assemble         dynamic splice at the <image> slot      [Lmax, H]
+    forward/loss     decoder stack                           logits / CE
+
+Every stage compiles once per shape bucket and runs for the whole batch at
+once (jax.vmap over samples where per-sample state exists).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .compress.assembly import splice_visual_dynamic
+from .compress.tdc import compress_video, init_compressor
+from .config import TDCConfig
+from .constants import IGNORE_INDEX
+from .models import lm as lm_mod
+from .models.beats import beats_forward, init_beats
+from .models.layers import init_linear, linear, normal_init
+from .models.sva import init_sva, sva_forward
+from .models.vit import init_vit, vit_forward
+from .ops.audio import kaldi_fbank, pool_seconds_to_frames, window_to_seconds
+from .ops.segment import segment_boundaries
+
+Params = Any
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def init_tdc(key, cfg: TDCConfig) -> Params:
+    """Full parameter tree.  Mirrors the reference module inventory
+    (cambrian_arch.py:47-200 + initialize_audio :451 + initialize_compressor
+    :469): towers, SVA (aux projectors/samplers/vision_query/mm_projector),
+    Q-Former compressor (+query_proj/vision_proj/query_tokens/frame_seg),
+    BEATs + audio_proj, image_newline, and the LM."""
+    dt = cfg.param_dtype
+    ks = jax.random.split(key, 8)
+    params = {
+        "siglip": init_vit(ks[0], cfg.siglip, dt),
+        "dino": init_vit(ks[1], cfg.dino, dt),
+        "sva": init_sva(
+            ks[2],
+            cfg.sva,
+            tower_dims=(cfg.siglip.hidden_size, cfg.dino.hidden_size),
+            llm_hidden=cfg.lm.hidden_size,
+            dtype=dt,
+        ),
+        "compressor": init_compressor(ks[3], cfg, dt),
+        "lm": lm_mod.init_lm(ks[4], cfg.lm, dt),
+        # newline column appended to each frame grid (cambrian_arch.py:150-156)
+        "image_newline": normal_init(ks[5], (cfg.lm.hidden_size,), dt),
+    }
+    if cfg.audio_input:
+        params["beats"] = init_beats(ks[6], cfg.beats, dt)
+        params["audio_proj"] = init_linear(
+            ks[7], cfg.beats.encoder_embed_dim, cfg.lm.hidden_size, dt
+        )
+    return params
+
+
+def frame_token_len(cfg: TDCConfig) -> int:
+    """Tokens per encoded frame: the SVA grid plus one newline per row
+    (reference appends image_newline per row, cambrian_arch.py:1273-1281)."""
+    side = cfg.sva.final_side_len
+    if cfg.compression.is_image_newline:
+        return cfg.sva.image_token_len + side
+    return cfg.sva.image_token_len
+
+
+def get_frame_pos(cfg: TDCConfig, frame_indices: jnp.ndarray) -> jnp.ndarray:
+    """Sinusoidal temporal embedding per frame (cambrian_arch.py:183-190)."""
+    H = cfg.lm.hidden_size
+    half = H // 2
+    freq = jnp.exp(jnp.arange(half, dtype=jnp.float32) * (-jnp.log(10000.0) / half))
+    ang = frame_indices.astype(jnp.float32)[:, None] * freq[None]
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)  # [T, H]
+
+
+# ---------------------------------------------------------------------------
+# Frame encoding
+# ---------------------------------------------------------------------------
+
+
+def encode_frames(
+    cfg: TDCConfig,
+    params: Params,
+    siglip_px: jnp.ndarray,  # [T, Hs, Ws, 3] normalized
+    dino_px: jnp.ndarray,  # [T, Hd, Wd, 3] normalized
+    frame_indices: Optional[jnp.ndarray] = None,  # [T] for frame_pos
+    attn_impl: str = "xla",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (frame_feats [T, P, H_lm], dino_feats [T, 576, C_dino]).
+
+    Replaces encode_images + the SVA branch + per-frame newline of the
+    reference (cambrian_arch.py:698-745, :964-1052, :1195-1345).  All frames
+    run as one tower batch — the reference's chunk-64 loop is just batching.
+    """
+    dt = cfg.dtype
+    dino_feats = vit_forward(cfg.dino, params["dino"], dino_px, attn_impl=attn_impl, dtype=dt)
+    siglip_feats = vit_forward(
+        cfg.siglip, params["siglip"], siglip_px, attn_impl=attn_impl, dtype=dt
+    )
+    feats = sva_forward(cfg.sva, params["sva"], [siglip_feats, dino_feats])  # [T, 144, H]
+
+    T = feats.shape[0]
+    side = cfg.sva.final_side_len
+    H = feats.shape[-1]
+    if cfg.compression.is_image_newline:
+        grid = feats.reshape(T, side, side, H)
+        nl = jnp.broadcast_to(
+            params["image_newline"].astype(grid.dtype)[None, None, None], (T, side, 1, H)
+        )
+        feats = jnp.concatenate([grid, nl], axis=2).reshape(T, side * (side + 1), H)
+
+    if cfg.compression.frame_pos and frame_indices is not None:
+        feats = feats + get_frame_pos(cfg, frame_indices).astype(feats.dtype)[:, None, :]
+    return feats, dino_feats
+
+
+# ---------------------------------------------------------------------------
+# Audio encoding
+# ---------------------------------------------------------------------------
+
+
+def encode_audio(
+    cfg: TDCConfig,
+    params: Params,
+    wav_windows: jnp.ndarray,  # [W, 160000] 10-s windows of 16 kHz audio
+    wav_mask: jnp.ndarray,  # [W, 160000] bool
+    frame_of_sec: jnp.ndarray,  # [S=W*10] int32 (ops.audio.second_groups)
+    group_pos: jnp.ndarray,  # [S]
+    group_size: jnp.ndarray,  # [T]
+    num_frames: int,
+    sec_valid: Optional[jnp.ndarray] = None,  # [S] bool
+) -> jnp.ndarray:
+    """Returns per-frame audio tokens [num_frames, 50, H_lm] (already
+    audio_proj'ed — reference applies audio_proj at chunk assembly,
+    cambrian_arch.py:1612-1614; hoisted here so compression sees LM-space
+    features either way)."""
+    fb = kaldi_fbank(wav_windows)
+    fb_mask = wav_mask[:, :: 160][:, : fb.shape[1]]
+    tokens, _ = beats_forward(cfg.beats, params["beats"], fb, fb_mask, dtype=cfg.dtype)
+    per_sec = window_to_seconds(tokens)  # [W, 10, 50, 768]
+    W = per_sec.shape[0]
+    per_sec = per_sec.reshape(W * 10, per_sec.shape[2], per_sec.shape[3])
+    frame_audio = pool_seconds_to_frames(
+        per_sec, frame_of_sec, group_pos, group_size, num_frames, sec_valid
+    )
+    return linear(params["audio_proj"], frame_audio.astype(cfg.dtype))
+
+
+# ---------------------------------------------------------------------------
+# Visual preparation (segment + compress), single sample
+# ---------------------------------------------------------------------------
+
+
+def prepare_visual(
+    cfg: TDCConfig,
+    params: Params,
+    frame_feats: jnp.ndarray,  # [T, P, H]
+    dino_feats: jnp.ndarray,  # [T, 576, C]
+    frame_mask: jnp.ndarray,  # [T] bool
+    qformer_text_ids: Optional[jnp.ndarray],  # [Lq]
+    qformer_text_mask: Optional[jnp.ndarray],  # [Lq]
+    audio_tokens: Optional[jnp.ndarray] = None,  # [T, 50, H]
+    max_visual_len: int = 4096,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Segmentation + TDC compression for ONE video.  Returns
+    (visual [max_visual_len, H], n_visual)."""
+    boundary = segment_boundaries(dino_feats, frame_mask, cfg.compression.max_num_segments)
+    return compress_video(
+        cfg,
+        params["compressor"],
+        frame_feats,
+        frame_mask,
+        boundary,
+        qformer_text_ids,
+        qformer_text_mask,
+        audio_feats=audio_tokens,
+        max_visual_len=max_visual_len,
+        dtype=jnp.float32,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full multimodal forward
+# ---------------------------------------------------------------------------
+
+
+def prepare_multimodal_inputs(
+    cfg: TDCConfig,
+    params: Params,
+    input_ids: jnp.ndarray,  # [B, L]; <image> slot already a placeholder id
+    image_pos: jnp.ndarray,  # [B] position of the <image> token
+    siglip_px: jnp.ndarray,  # [B, T, Hs, Ws, 3]
+    dino_px: jnp.ndarray,  # [B, T, Hd, Wd, 3]
+    frame_mask: jnp.ndarray,  # [B, T]
+    qformer_text_ids: Optional[jnp.ndarray],  # [B, Lq]
+    qformer_text_mask: Optional[jnp.ndarray],  # [B, Lq]
+    audio_tokens: Optional[jnp.ndarray] = None,  # [B, T, 50, H]
+    labels: Optional[jnp.ndarray] = None,  # [B, L]
+    text_len: Optional[jnp.ndarray] = None,  # [B] valid text length (right-padded)
+    max_len: int = 4096,
+    max_visual_len: int = 2048,
+    attn_impl: str = "xla",
+) -> Dict[str, jnp.ndarray]:
+    """Batched equivalent of prepare_inputs_labels_for_multimodal
+    (cambrian_arch.py:864-1844): returns dict(embeds [B, max_len, H],
+    attn_mask, labels, seq_len)."""
+    B, T = frame_mask.shape
+
+    flat_sig = siglip_px.reshape((B * T,) + siglip_px.shape[2:])
+    flat_dino = dino_px.reshape((B * T,) + dino_px.shape[2:])
+    frame_feats, dino_feats = encode_frames(cfg, params, flat_sig, flat_dino, attn_impl=attn_impl)
+    P = frame_feats.shape[1]
+    frame_feats = frame_feats.reshape(B, T, P, -1)
+    dino_feats = dino_feats.reshape(B, T, dino_feats.shape[1], -1)
+
+    def one(ff, df, fm, tid, tmask, atok):
+        return prepare_visual(
+            cfg, params, ff, df, fm, tid, tmask, atok, max_visual_len=max_visual_len
+        )
+
+    if audio_tokens is None:
+        visual, n_visual = jax.vmap(lambda a, b, c, d, e: one(a, b, c, d, e, None))(
+            frame_feats, dino_feats, frame_mask, qformer_text_ids, qformer_text_mask
+        )
+    else:
+        visual, n_visual = jax.vmap(one)(
+            frame_feats, dino_feats, frame_mask, qformer_text_ids, qformer_text_mask, audio_tokens
+        )
+
+    text_embeds = lm_mod.embed_tokens(cfg.lm, params["lm"], input_ids, cfg.dtype)
+    visual = visual.astype(text_embeds.dtype)
+    if text_len is None:
+        text_len = jnp.full((B,), input_ids.shape[1], jnp.int32)
+
+    def splice(te, ipos, vis, nv, tl, lab):
+        return splice_visual_dynamic(te, ipos, vis, nv, max_len, labels=lab, text_len=tl)
+
+    if labels is None:
+        embeds, attn_mask, _, seq_len = jax.vmap(
+            lambda te, ipos, vis, nv, tl: splice(te, ipos, vis, nv, tl, None)
+        )(text_embeds, image_pos, visual, n_visual, text_len)
+        out_labels = None
+    else:
+        embeds, attn_mask, out_labels, seq_len = jax.vmap(splice)(
+            text_embeds, image_pos, visual, n_visual, text_len, labels
+        )
+    return {
+        "embeds": embeds,
+        "attn_mask": attn_mask,
+        "labels": out_labels,
+        "seq_len": seq_len,
+    }
+
+
+def tdc_loss(
+    cfg: TDCConfig,
+    params: Params,
+    batch: Dict[str, jnp.ndarray],
+    max_len: int = 4096,
+    max_visual_len: int = 2048,
+    attn_impl: str = "xla",
+    remat: bool = True,
+) -> jnp.ndarray:
+    """Training loss for a multimodal batch (reference training path:
+    cambrian_qwen.py:232 -> prepare_inputs... -> CE :374-385)."""
+    mm = prepare_multimodal_inputs(
+        cfg,
+        params,
+        batch["input_ids"],
+        batch["image_pos"],
+        batch["siglip_px"],
+        batch["dino_px"],
+        batch["frame_mask"],
+        batch.get("qformer_text_ids"),
+        batch.get("qformer_text_mask"),
+        audio_tokens=batch.get("audio_tokens"),
+        labels=batch["labels"],
+        text_len=batch.get("text_len"),
+        max_len=max_len,
+        max_visual_len=max_visual_len,
+        attn_impl=attn_impl,
+    )
+    return lm_mod.lm_loss(
+        cfg.lm,
+        params["lm"],
+        mm["embeds"],
+        mm["labels"],
+        mm["attn_mask"],
+        attn_impl=attn_impl,
+        remat=remat,
+        dtype=cfg.dtype,
+    )
