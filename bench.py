@@ -1,0 +1,95 @@
+"""Benchmark: end-to-end video encode+compress throughput on one TPU chip.
+
+Measures the north-star metric from BASELINE.json: video-seconds processed
+per wall-second through the full TDC front half — SigLIP-so400m + DINOv2-giant
+towers, SVA connector, DINO scene segmentation, and the batched Q-Former TDC
+compression — at 1 fps (so frames/sec == video-sec/sec).  Baseline = 1.0x
+playback (the reference's requirement for real-time long-video ingestion).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def build(cfg):
+    from tdc_video_tpu.model import init_tdc
+
+    # Structural (zeros) init: benchmark timing is weight-independent, and
+    # materializing ~9B random values host-side would dominate startup.
+    shapes = jax.eval_shape(lambda: init_tdc(jax.random.PRNGKey(0), cfg))
+    keep = {"siglip", "dino", "sva", "compressor", "image_newline"}
+    return {
+        k: jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), v)
+        for k, v in shapes.items()
+        if k in keep
+    }
+
+
+def main():
+    import dataclasses
+
+    from tdc_video_tpu import config as C
+    from tdc_video_tpu.model import encode_frames, prepare_visual
+
+    dev = jax.devices()[0]
+    on_tpu = dev.platform == "tpu"
+    cfg = C.tdc_qwen2_7b()
+    cfg = dataclasses.replace(cfg, param_dtype=jnp.bfloat16)
+    T = 64 if on_tpu else 4  # frames per step (= video seconds at 1 fps)
+    iters = 5 if on_tpu else 1
+    if not on_tpu:
+        cfg = C.tdc_tiny()
+
+    params = build(cfg)
+    rng = np.random.default_rng(0)
+    sig = jnp.asarray(
+        rng.normal(0, 1, (T, cfg.siglip.image_size, cfg.siglip.image_size, 3)), cfg.dtype
+    )
+    dino = jnp.asarray(
+        rng.normal(0, 1, (T, cfg.dino.image_size, cfg.dino.image_size, 3)), cfg.dtype
+    )
+    frame_mask = jnp.ones((T,), jnp.bool_)
+    text_ids = jnp.asarray(rng.integers(1, 1000, (16,)), jnp.int32)
+    text_mask = jnp.ones((16,), jnp.bool_)
+
+    @jax.jit
+    def pipeline(params, sig, dino):
+        feats, dfeats = encode_frames(cfg, params, sig, dino)
+        visual, n = prepare_visual(
+            cfg, params, feats, dfeats, frame_mask, text_ids, text_mask, max_visual_len=4096
+        )
+        return visual, n
+
+    visual, n = pipeline(params, sig, dino)  # compile + warmup
+    jax.block_until_ready(visual)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        visual, n = pipeline(params, sig, dino)
+    jax.block_until_ready(visual)
+    dt = time.perf_counter() - t0
+
+    video_sec_per_sec = (T * iters) / dt
+    print(
+        json.dumps(
+            {
+                "metric": "encode_compress_throughput",
+                "value": round(video_sec_per_sec, 3),
+                "unit": "video-sec/sec (1 fps frames, so400m+dinov2g+SVA+TDC)",
+                "vs_baseline": round(video_sec_per_sec / 1.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

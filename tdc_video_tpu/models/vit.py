@@ -86,7 +86,9 @@ def patchify(pixels: jnp.ndarray, patch: int) -> jnp.ndarray:
     torch conv-weight flattening used in convert/from_hf.py)."""
     B, H, W, C = pixels.shape
     gh, gw = H // patch, W // patch
-    x = pixels.reshape(B, gh, patch, gw, patch, C)
+    # stride-`patch` valid conv drops trailing pixels when H % patch != 0
+    # (siglip-so400m: 384 px / patch 14 -> 27x27 grid, last 6 px unused)
+    x = pixels[:, : gh * patch, : gw * patch].reshape(B, gh, patch, gw, patch, C)
     x = x.transpose(0, 1, 3, 2, 4, 5)
     return x.reshape(B, gh * gw, patch * patch * C)
 
