@@ -23,28 +23,34 @@ def splice_visual_dynamic(
     max_len: int,
     labels: Optional[jnp.ndarray] = None,  # [L] int32
     text_len: Optional[jnp.ndarray] = None,  # scalar int32 valid text length
+    has_image: Optional[jnp.ndarray] = None,  # scalar bool; False = text-only row
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray]:
     """Traced-position variant of splice_visual (vmap-able over a batch with
     per-sample <image> positions, as produced by the collator — reference
     inserts the image token at data-dependent offsets, tdc/train.py:794-814).
 
     Layout: text[:image_pos] | visual[:n_visual] | text[image_pos+1:text_len],
-    right-padded to max_len.  Pure gathers — no dynamic slices, one compile.
+    right-padded to max_len.  For text-only rows (has_image=False) no text slot
+    is consumed and n_visual is forced to 0.  Pure gathers — no dynamic slices,
+    one compile.
     """
     L, H = text_embeds.shape
     V = visual.shape[0]
     tl = jnp.asarray(L, jnp.int32) if text_len is None else text_len.astype(jnp.int32)
-    nv = jnp.minimum(n_visual.astype(jnp.int32), max_len - (tl - 1))
+    hi = jnp.asarray(True) if has_image is None else has_image
+    skip = jnp.where(hi, 1, 0).astype(jnp.int32)  # the <image> slot itself
+    nv = jnp.where(hi, n_visual.astype(jnp.int32), 0)
+    nv = jnp.minimum(nv, max_len - (tl - skip))
 
     j = jnp.arange(max_len, dtype=jnp.int32)
     in_pre = j < image_pos
     in_vis = (j >= image_pos) & (j < image_pos + nv)
-    t_idx = jnp.where(in_pre, j, j - nv + 1)  # post region skips the <image> slot
+    t_idx = jnp.where(in_pre, j, j - nv + skip)  # post region skips the <image> slot
     t_idx_c = jnp.clip(t_idx, 0, L - 1)
     v_idx = jnp.clip(j - image_pos, 0, V - 1)
 
     out = jnp.where(in_vis[:, None], visual[v_idx], text_embeds[t_idx_c])
-    seq_len = jnp.minimum(tl - 1 + nv, max_len)
+    seq_len = jnp.minimum(tl - skip + nv, max_len)
     attn_mask = j < seq_len
     out = jnp.where(attn_mask[:, None], out, 0)
 

@@ -216,6 +216,7 @@ def prepare_multimodal_inputs(
     audio_tokens: Optional[jnp.ndarray] = None,  # [B, T, 50, H]
     labels: Optional[jnp.ndarray] = None,  # [B, L]
     text_len: Optional[jnp.ndarray] = None,  # [B] valid text length (right-padded)
+    has_image: Optional[jnp.ndarray] = None,  # [B] bool; False rows splice no visual
     max_len: int = 4096,
     max_visual_len: int = 2048,
     attn_impl: str = "xla",
@@ -250,18 +251,22 @@ def prepare_multimodal_inputs(
     visual = visual.astype(text_embeds.dtype)
     if text_len is None:
         text_len = jnp.full((B,), input_ids.shape[1], jnp.int32)
+    if has_image is None:
+        has_image = jnp.ones((B,), jnp.bool_)
 
-    def splice(te, ipos, vis, nv, tl, lab):
-        return splice_visual_dynamic(te, ipos, vis, nv, max_len, labels=lab, text_len=tl)
+    def splice(te, ipos, vis, nv, tl, hi, lab):
+        return splice_visual_dynamic(
+            te, ipos, vis, nv, max_len, labels=lab, text_len=tl, has_image=hi
+        )
 
     if labels is None:
         embeds, attn_mask, _, seq_len = jax.vmap(
-            lambda te, ipos, vis, nv, tl: splice(te, ipos, vis, nv, tl, None)
-        )(text_embeds, image_pos, visual, n_visual, text_len)
+            lambda te, ipos, vis, nv, tl, hi: splice(te, ipos, vis, nv, tl, hi, None)
+        )(text_embeds, image_pos, visual, n_visual, text_len, has_image)
         out_labels = None
     else:
         embeds, attn_mask, out_labels, seq_len = jax.vmap(splice)(
-            text_embeds, image_pos, visual, n_visual, text_len, labels
+            text_embeds, image_pos, visual, n_visual, text_len, has_image, labels
         )
     return {
         "embeds": embeds,
@@ -295,6 +300,7 @@ def tdc_loss(
         audio_tokens=batch.get("audio_tokens"),
         labels=batch["labels"],
         text_len=batch.get("text_len"),
+        has_image=batch.get("has_image"),
         max_len=max_len,
         max_visual_len=max_visual_len,
         attn_impl=attn_impl,

@@ -245,7 +245,7 @@ def lm_loss(
     logits = logits[:, :-1]
     targets = labels[:, 1:]
     valid = targets >= 0
-    safe_targets = jnp.where(valid, targets, 0)
+    safe_targets = jnp.clip(jnp.where(valid, targets, 0), 0, cfg.vocab_size - 1)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     tok_ll = jnp.take_along_axis(logp, safe_targets[..., None], axis=-1)[..., 0]
     denom = jnp.maximum(valid.sum(), 1)
