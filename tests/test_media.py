@@ -1,0 +1,102 @@
+"""Native media decoder tests.
+
+Test media is synthesized on the fly (animated GIF via PIL, PCM WAV via the
+stdlib) — both containers FFmpeg demuxes — so the 1-fps sampling, scaling,
+and 16 kHz mono resampling paths run for real without checked-in blobs.
+"""
+
+import math
+import os
+import wave
+
+import numpy as np
+import pytest
+
+from tdc_video_tpu.media.io import decode_video, load_audio, probe, window_audio
+
+
+@pytest.fixture(scope="module")
+def gif_path(tmp_path_factory):
+    """12-frame 2-fps GIF, 80x48, frame i filled with value i*20."""
+    from PIL import Image
+
+    path = tmp_path_factory.mktemp("media") / "clip.gif"
+    frames = [
+        Image.new("RGB", (80, 48), (i * 20, i * 10, 255 - i * 20)) for i in range(12)
+    ]
+    frames[0].save(
+        str(path), save_all=True, append_images=frames[1:], duration=500, loop=0
+    )
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def wav_path(tmp_path_factory):
+    """3-s stereo 44.1 kHz sine (440 Hz left, 880 Hz right)."""
+    path = tmp_path_factory.mktemp("media") / "tone.wav"
+    sr = 44100
+    t = np.arange(3 * sr) / sr
+    left = 0.5 * np.sin(2 * np.pi * 440 * t)
+    right = 0.5 * np.sin(2 * np.pi * 880 * t)
+    pcm = (np.stack([left, right], 1) * 32767).astype(np.int16)
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    return str(path)
+
+
+class TestVideo:
+    def test_probe(self, gif_path):
+        info = probe(gif_path)
+        assert info["width"] == 80 and info["height"] == 48
+        assert not info["has_audio"]
+
+    def test_one_fps_sampling(self, gif_path):
+        # 12 frames at 2 fps = 6 s of video -> 6 frames at 1 fps
+        frames, ts = decode_video(gif_path, fps=1.0, max_dim=64)
+        assert frames.shape[0] == 6
+        assert frames.shape[3] == 3
+        # aspect preserved: longer side == 64
+        assert max(frames.shape[1], frames.shape[2]) == 64
+        # timestamps ~ 0,1,2,...
+        assert np.allclose(ts, np.arange(6), atol=0.3)
+        # frame content advances (red channel grows by ~40/video-second)
+        reds = frames[:, 4, 4, 0].astype(int)
+        assert all(b - a > 20 for a, b in zip(reds, reds[1:])), reds
+
+    def test_all_frames(self, gif_path):
+        frames, _ = decode_video(gif_path, fps=2.0, max_dim=64)
+        assert frames.shape[0] == 12
+
+    def test_max_frames_cap(self, gif_path):
+        frames, _ = decode_video(gif_path, fps=2.0, max_dim=64, max_frames=5)
+        assert frames.shape[0] == 5
+
+    def test_missing_file(self):
+        with pytest.raises(FileNotFoundError):
+            decode_video("/nonexistent.mp4")
+
+
+class TestAudio:
+    def test_resample_mono(self, wav_path):
+        wav = load_audio(wav_path)
+        assert wav is not None and wav.dtype == np.float32
+        # 3 s at 16 kHz
+        assert abs(len(wav) - 48000) < 200
+        # downmixed tone keeps both fundamentals: check dominant bins
+        spec = np.abs(np.fft.rfft(wav[:16000]))
+        freqs = np.fft.rfftfreq(16000, 1 / 16000)
+        top = freqs[np.argsort(spec)[-4:]]
+        assert any(abs(f - 440) < 5 for f in top), top
+        assert any(abs(f - 880) < 5 for f in top), top
+
+    def test_no_audio_in_gif(self, gif_path):
+        assert load_audio(gif_path) is None
+
+    def test_window_audio(self):
+        wav = np.ones(16000 * 13, np.float32)
+        windows, mask = window_audio(wav)
+        assert windows.shape == (2, 160000)
+        assert mask[0].all() and mask[1].sum() == 3 * 16000
