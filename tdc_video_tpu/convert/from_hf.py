@@ -234,3 +234,161 @@ def convert_qformer(sd: StateDict, cfg: QFormerConfig, prefix: str = "bert.") ->
         },
         "layers": layers,  # list (cross layers differ) — consumed without scan
     }
+
+
+# ---------------------------------------------------------------------------
+# BEATs: fairseq-style checkpoint (reference tdc/audio_models/beats)
+# ---------------------------------------------------------------------------
+
+
+def convert_beats(sd: StateDict, cfg: BeatsConfig, prefix: str = "") -> Dict[str, Any]:
+    """Map a BEATs checkpoint (BEATs_iter3_plus_AS2M*.pt, nested under "model")
+    into models/beats.py's tree.  The weight-normed pos_conv
+    (backbone.py:44: weight_norm dim=2 -> g [1,1,K], v [O,I/G,K]) is folded
+    into a plain conv weight."""
+    # patch conv [512, 1, 16, 16] -> dense [256, 512] over (kh, kw) patches
+    conv_w = sd[prefix + "patch_embedding.weight"]
+    o, _, p, _ = conv_w.shape
+    patch = {"w": conv_w.transpose(2, 3, 1, 0).reshape(p * p, o)}
+    if prefix + "patch_embedding.bias" in sd:
+        patch["b"] = sd[prefix + "patch_embedding.bias"]
+
+    g = sd[prefix + "encoder.pos_conv.0.weight_g"]
+    v = sd[prefix + "encoder.pos_conv.0.weight_v"]
+    norm = np.sqrt((v * v).sum(axis=(0, 1), keepdims=True))
+    pos_w = (g / np.maximum(norm, 1e-12)) * v  # [O, I/G, K]
+
+    def ln(name):
+        return {"scale": sd[name + ".weight"], "bias": sd[name + ".bias"]}
+
+    layers = []
+    rel_bias = sd[prefix + "encoder.layers.0.self_attn.relative_attention_bias.weight"]
+    for i in range(cfg.num_layers):
+        lp = f"{prefix}encoder.layers.{i}."
+        layers.append(
+            {
+                "q_proj": _lin(sd, lp + "self_attn.q_proj"),
+                "k_proj": _lin(sd, lp + "self_attn.k_proj"),
+                "v_proj": _lin(sd, lp + "self_attn.v_proj"),
+                "o_proj": _lin(sd, lp + "self_attn.out_proj"),
+                "attn_norm": ln(lp + "self_attn_layer_norm"),
+                "fc1": _lin(sd, lp + "fc1"),
+                "fc2": _lin(sd, lp + "fc2"),
+                "final_norm": ln(lp + "final_layer_norm"),
+                "grep_linear": _lin(sd, lp + "self_attn.grep_linear"),
+                "grep_a": sd[lp + "self_attn.grep_a"].reshape(-1),
+            }
+        )
+    return {
+        "patch_embed": patch,
+        "patch_norm": ln(prefix + "layer_norm"),
+        "post_extract_proj": _lin(sd, prefix + "post_extract_proj"),
+        "pos_conv": {"w": pos_w, "b": sd[prefix + "encoder.pos_conv.0.bias"]},
+        "encoder_norm": ln(prefix + "encoder.layer_norm"),
+        "rel_pos_bias": rel_bias,
+        "layers": _stack(layers),
+    }
+
+
+# ---------------------------------------------------------------------------
+# SVA connector + compressor extras from a trained TDC checkpoint
+# (key names from tdc/cambrian_arch.py:47-163 + vision_sampler.py:305-566)
+# ---------------------------------------------------------------------------
+
+
+def _ln_lin(sd: StateDict, prefix: str) -> Dict[str, Any]:
+    """nn.Sequential(LayerNorm, Linear) as in CrossAttention q/k/v
+    (vision_sampler.py:75-86)."""
+    return {
+        "norm": {"scale": sd[prefix + ".0.weight"], "bias": sd[prefix + ".0.bias"]},
+        "lin": _lin(sd, prefix + ".1", bias=False),
+    }
+
+
+def convert_sva(sd: StateDict, num_towers: int, num_groups: int, depth: int,
+                prefix: str = "model.") -> Dict[str, Any]:
+    params: Dict[str, Any] = {"aux_projectors": [], "samplers": []}
+    for t in range(num_towers):
+        ap = f"{prefix}mm_projector_aux_{t}."
+        params["aux_projectors"].append(
+            {
+                "fc1": _lin(sd, ap + "0"),
+                "fc2": _lin(sd, ap + "2"),
+                "norm": {"scale": sd[ap + "3.weight"], "bias": sd[ap + "3.bias"]},
+            }
+        )
+    for gi in range(num_groups):
+        layers = []
+        for li in range(depth):
+            lp = f"{prefix}vision_sampler_{gi}.layers.{li}."
+            layer = {
+                "proj_context": _lin(sd, lp + "proj_context", bias=False),
+                "proj_in": _lin(sd, lp + "proj_in", bias=False),
+                "q_proj": _ln_lin(sd, lp + "cross_attn.q_proj"),
+                "o_proj": _lin(sd, lp + "cross_attn.o_proj", bias=False),
+                "norm": {"scale": sd[lp + "norm.weight"], "bias": sd[lp + "norm.bias"]},
+                "proj_out": {
+                    "fc1": _lin(sd, lp + "proj_out.linear_1", bias=False),
+                    "fc2": _lin(sd, lp + "proj_out.linear_2", bias=False),
+                },
+                "kv": [
+                    {
+                        "k_proj": _ln_lin(sd, lp + f"cross_attn.k_proj_{t}"),
+                        "v_proj": _ln_lin(sd, lp + f"cross_attn.v_proj_{t}"),
+                    }
+                    for t in range(num_towers)
+                ],
+                "pos_embed": [
+                    sd.get(lp + f"pos_embed_{t}") for t in range(num_towers)
+                ],
+            }
+            layers.append(layer)
+        params["samplers"].append({"layers": layers})
+    params["vision_query"] = sd[prefix + "vision_query"]
+    params["mm_projector"] = {
+        "fc1": _lin(sd, prefix + "mm_projector.0"),
+        "fc2": _lin(sd, prefix + "mm_projector.2"),
+    }
+    return params
+
+
+def convert_compressor(sd: StateDict, cfg: QFormerConfig, prefix: str = "model.") -> Dict[str, Any]:
+    """Q-Former + projections + frame separator (initialize_compressor,
+    cambrian_arch.py:469-486)."""
+    return {
+        "qformer": convert_qformer(sd, cfg, prefix=prefix + "Qformer.bert."),
+        "query_proj": _lin(sd, prefix + "query_proj"),
+        "vision_proj": _lin(sd, prefix + "vision_proj"),
+        "query_tokens": sd[prefix + "query_tokens"][0],
+        "frame_seg": sd[prefix + "frame_seg"],
+    }
+
+
+def convert_tdc(sd: StateDict, cfg, prefix: str = "model.") -> Dict[str, Any]:
+    """Full TDC-Video checkpoint (CambrianQwen/LlamaForCausalLM state dict) ->
+    model.init_tdc tree.  `cfg` is a config.TDCConfig."""
+    params: Dict[str, Any] = {
+        "lm": convert_lm(sd, cfg.lm, prefix=prefix),
+        "siglip": convert_siglip(
+            sd, cfg.siglip,
+            prefix=prefix + "vision_tower_aux_list.0.vision_tower.vision_model.",
+        ),
+        "dino": convert_dinov2(
+            sd, cfg.dino, prefix=prefix + "vision_tower_aux_list.1.vision_tower.",
+        ),
+        "sva": convert_sva(
+            sd,
+            num_towers=2,
+            num_groups=cfg.sva.num_query_group,
+            depth=cfg.sva.connector_depth,
+            prefix=prefix,
+        ),
+        "compressor": convert_compressor(sd, cfg.qformer, prefix=prefix),
+        "image_newline": sd[prefix + "image_newline"],
+    }
+    if prefix + "audio_proj.weight" in sd:
+        params["audio_proj"] = _lin(sd, prefix + "audio_proj")
+    beats_prefix = prefix + "audio_encoder.beats."
+    if beats_prefix + "patch_embedding.weight" in sd:
+        params["beats"] = convert_beats(sd, cfg.beats, prefix=beats_prefix)
+    return params

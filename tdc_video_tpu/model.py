@@ -84,12 +84,17 @@ def frame_token_len(cfg: TDCConfig) -> int:
 
 
 def get_frame_pos(cfg: TDCConfig, frame_indices: jnp.ndarray) -> jnp.ndarray:
-    """Sinusoidal temporal embedding per frame (cambrian_arch.py:183-190)."""
+    """Sinusoidal temporal embedding per frame, interleaved sin/cos layout
+    matching the reference buffer (cambrian_arch.py:152-163, get_frame_pos
+    :183-190: out[2k] = sin(t * w_k), out[2k+1] = cos(t * w_k))."""
     H = cfg.lm.hidden_size
-    half = H // 2
-    freq = jnp.exp(jnp.arange(half, dtype=jnp.float32) * (-jnp.log(10000.0) / half))
-    ang = frame_indices.astype(jnp.float32)[:, None] * freq[None]
-    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)  # [T, H]
+    j = jnp.arange(H)
+    inv = 1.0 / jnp.power(10000.0, (2 * (j // 2)).astype(jnp.float32) / H)
+    ang = frame_indices.astype(jnp.float32)[:, None] * inv[None]  # [T, H]
+    even = jnp.sin(ang)
+    # reference sets odd slots to cos of the EVEN slot's angle (same angle,
+    # since inv[2k] == inv[2k+1])
+    return jnp.where(j[None] % 2 == 0, even, jnp.cos(ang))
 
 
 # ---------------------------------------------------------------------------

@@ -47,10 +47,12 @@ def init_linear(key, d_in, d_out, dtype, bias=True, stddev=None):
 
 
 def linear(p: Params, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
-    w = p["w"]
+    """Matmul in the activation dtype: params stored in param_dtype (often
+    f32) are cast down so bf16 activations stay bf16 on the MXU instead of
+    silently promoting the whole network to f32."""
     if dtype is not None:
-        w = w.astype(dtype)
         x = x.astype(dtype)
+    w = p["w"].astype(x.dtype)
     y = x @ w
     if "b" in p:
         y = y + p["b"].astype(y.dtype)
