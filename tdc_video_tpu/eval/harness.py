@@ -1,0 +1,224 @@
+"""Benchmark harness: load model -> shard -> predict -> aggregate -> dump.
+
+One runner covers all 7 reference harnesses (eval/eval_*.py); benchmark
+differences (subtitles, audio, frame-dir videos, Kaggle CSV, free-form
+answers) are data-driven from the sample dicts.
+
+CLI (reference: torchrun --nproc_per_node=8 eval/eval_mlvu.py ...,
+eval/README.md:8):
+
+    python -m tdc_video_tpu.eval.harness mlvu \
+        --model_path checkpoints/TDC-Qwen2-7B --data_path /data/MLVU
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import glob
+import os
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from .datasets import LOADERS, parse_srt, subtitles_for_frames
+from .runner import (
+    TDCPredictor,
+    accuracy_by_task,
+    allgather_records,
+    dump_results,
+    extract_letter,
+    lvcot,
+    shard_samples,
+)
+
+
+def load_frame_dir(path: str, bound=None, sample_fps: float = 1.0) -> np.ndarray:
+    """MVBench episodic-reasoning videos ship as 3-fps frame dirs
+    (eval_mvbench.py tvqa/frames_fps3_hq)."""
+    from PIL import Image
+
+    files = sorted(glob.glob(os.path.join(path, "*.jpg")))
+    if bound and bound[0] is not None:
+        fps = 3.0
+        lo, hi = int(bound[0] * fps), int(bound[1] * fps) + 1
+        files = files[lo:hi]
+    files = files[:: max(1, int(3 / sample_fps))]
+    return np.stack([np.asarray(Image.open(f).convert("RGB")) for f in files])
+
+
+def run_benchmark(
+    name: str,
+    predictor: TDCPredictor,
+    samples: List[dict],
+    out_dir: str = "./results",
+    use_lvcot: bool = False,
+    limit: Optional[int] = None,
+) -> dict:
+    samples = shard_samples(samples)
+    if limit:
+        samples = samples[:limit]
+    records = []
+    t_start = time.time()
+    for i, line in enumerate(samples):
+        free_form = line.get("free_form", False)
+        letters = line.get("letters", ["A", "B", "C", "D"])
+
+        frames = None
+        frame_seconds = None
+        if line.get("data_type") == "frame":
+            if not os.path.isdir(line["video"]):
+                continue
+            frames = load_frame_dir(line["video"], line.get("bound"))
+            frame_seconds = np.arange(len(frames), dtype=np.float64)
+        else:
+            if not os.path.exists(line["video"]):
+                continue
+            from ..media.io import decode_video
+
+            try:
+                frames, frame_seconds = decode_video(
+                    line["video"], fps=predictor.cfg.video_fps,
+                    max_frames=predictor.max_eval_frames,
+                )
+            except IOError:
+                continue
+        if frames is None or len(frames) == 0:
+            continue
+
+        prompt = line["prompt"]
+        # Video-MME subtitle conditioning (eval_videomme.py:204-240)
+        sub_path = line.get("subtitle")
+        if sub_path and os.path.exists(sub_path):
+            subs = parse_srt(sub_path)
+            prompt = subtitles_for_frames(subs, frame_seconds) + prompt
+
+        # LVCoT for long videos (eval_mlvu.py:189-194)
+        if use_lvcot and len(frames) >= 600:
+            think = lvcot(predictor, frames, max_forward=2)
+            prompt = f"<think>{think}</think>" + prompt
+
+        wav = None
+        if line.get("audio") and os.path.exists(line["audio"]):
+            from ..media.io import load_audio
+
+            wav = load_audio(line["audio"])
+
+        if "questions" in line:  # grouped (videomme): many questions, one video
+            for q in line["questions"]:
+                opt = "".join(f"{o}\n" for o in q["choices"])
+                qprompt = (
+                    f"Question: {q['question']}\nOptions:\n{opt}"
+                    "Respond with only the letter (A, B, C, or D) of the correct option.\n"
+                ).rstrip()
+                pred = predictor.answer(
+                    frames, (prompt + qprompt) if sub_path else qprompt,
+                    qformer_prompt=q["question"],
+                    wav=wav, frame_seconds=frame_seconds,
+                )
+                records.append(
+                    {
+                        "video_name": line["video_name"],
+                        "question": q["question"],
+                        "answer": q.get("answer", ""),
+                        "pred": extract_letter(pred),
+                        "task_type": line.get("duration", "videomme"),
+                        "raw": pred,
+                    }
+                )
+        else:
+            pred = predictor.answer(
+                frames, prompt, qformer_prompt=line["question"],
+                wav=wav, frame_seconds=frame_seconds,
+            )
+            rec = {
+                "video_name": line["video_name"],
+                "question": line["question"],
+                "answer": line["answer"],
+                "task_type": line["task_type"],
+                "raw": pred,
+            }
+            if free_form:
+                rec["pred"] = pred.strip().rstrip(".").lower()
+                rec["answer"] = str(line["answer"]).lower()
+            else:
+                rec["pred"] = extract_letter(pred, letters)
+            if "question_uid" in line:
+                rec["question_uid"] = line["question_uid"]
+                rec["pred_idx"] = letters.index(rec["pred"])
+            records.append(rec)
+        if i % 10 == 0:
+            el = time.time() - t_start
+            print(f"[{name}] {i + 1}/{len(samples)} ({el:.0f}s)", flush=True)
+
+    records = allgather_records(records)
+    metrics = accuracy_by_task(records)
+    dump_results(records, metrics, os.path.join(out_dir, name.upper()), name)
+
+    if name == "egoschema":  # Kaggle CSV (eval/README.md:27)
+        import jax
+
+        if jax.process_index() == 0:
+            path = os.path.join(out_dir, "EGOSCHEMA", "submission.csv")
+            with open(path, "w", newline="") as fh:
+                w = csv.writer(fh)
+                w.writerow(["q_uid", "answer"])
+                for r in records:
+                    w.writerow([r["question_uid"], r["pred_idx"]])
+            print(f"[egoschema] kaggle csv -> {path}", flush=True)
+    return metrics
+
+
+def build_predictor(args) -> TDCPredictor:
+    import jax.numpy as jnp
+
+    from ..builder import load_pretrained_model
+
+    tokenizer, model, _, _ = load_pretrained_model(
+        args.model_path, args.model_base, args.model_name, dtype=jnp.bfloat16
+    )
+    bert_tok = None
+    if args.bert_tokenizer:
+        from transformers import BertTokenizer
+
+        bert_tok = BertTokenizer.from_pretrained(args.bert_tokenizer, truncation_side="right")
+    return TDCPredictor(
+        model.cfg,
+        model.params,
+        tokenizer,
+        bert_tokenizer=bert_tok,
+        max_new_tokens=args.max_new_tokens,
+        max_eval_frames=args.max_frames,
+    )
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="TDC-Video TPU eval harness")
+    ap.add_argument("benchmark", choices=sorted(LOADERS))
+    ap.add_argument("--model_path", required=True)
+    ap.add_argument("--model_base", default=None)
+    ap.add_argument("--model_name", default=None)
+    ap.add_argument("--data_path", required=True)
+    ap.add_argument("--bert_tokenizer", default="./checkpoints/bert-base-uncased")
+    ap.add_argument("--out_dir", default="./results")
+    ap.add_argument("--use_lvcot", action="store_true")
+    ap.add_argument("--max_new_tokens", type=int, default=5)
+    ap.add_argument("--max_frames", type=int, default=1000)
+    ap.add_argument("--limit", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    predictor = build_predictor(args)
+    samples = LOADERS[args.benchmark](args.data_path)
+    run_benchmark(
+        args.benchmark,
+        predictor,
+        samples,
+        out_dir=args.out_dir,
+        use_lvcot=args.use_lvcot,
+        limit=args.limit,
+    )
+
+
+if __name__ == "__main__":
+    main()

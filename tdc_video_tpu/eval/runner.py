@@ -1,0 +1,370 @@
+"""Shared eval runner: single-video QA prediction with bucketed compilation.
+
+Re-implements the skeleton every reference harness repeats
+(eval/eval_mlvu.py:129-328 and siblings): decode at 1 fps capped at 1000
+frames -> process_images -> conv template -> tokenizer_image_token -> greedy
+generate(max_new_tokens=5) -> letter regex -> all-gather -> rank-0 accuracy.
+
+TPU redesign: the prediction path compiles once per (frame-bucket, text-bucket,
+audio) key and is reused across the whole benchmark — the reference re-traces
+HF generate shapes per sample.  Multi-host sharding uses
+jax.process_index/count + process_allgather instead of NCCL
+IterableDatasetShard/all_gather_object.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TDCConfig
+from ..constants import DEFAULT_IMAGE_TOKEN, IMAGE_TOKEN_INDEX
+from ..data.conversation import conv_templates
+from ..data.images import frame_bucket, pad_frames, process_frames
+from ..data.preprocess import tokenizer_image_token
+from ..media.io import decode_video, load_audio, window_audio
+from ..compress import budget
+
+
+LETTERS = ["A", "B", "C", "D", "E"]
+
+
+def extract_letter(pred: str, letters: Sequence[str] = ("A", "B", "C", "D")) -> str:
+    """Reference letter extraction (eval_mlvu.py:245-263): first regex match,
+    'A' when none parses, 'C' when the parse is not a valid option."""
+    pred = pred.replace("Answer", "")
+    found = re.findall(r"[\(\ \[]*([A-E])[\)\.\ \]]*", pred)
+    cand = found[0].strip().strip("()") if found else "A"
+    if cand in letters:
+        return cand
+    return letters[min(2, len(letters) - 1)]
+
+
+class HFTokenizerAdapter:
+    """Bridges an HF tokenizer to the data-layer protocol (.encode ->
+    List[int], matching the reference's tokenizer(chunk).input_ids)."""
+
+    def __init__(self, tok):
+        self.tok = tok
+
+    def encode(self, text: str) -> List[int]:
+        return self.tok(text).input_ids
+
+    def decode(self, ids) -> str:
+        return self.tok.decode([int(i) for i in ids], skip_special_tokens=True)
+
+
+@dataclass
+class PredictorStats:
+    samples: int = 0
+    decode_s: float = 0.0
+    model_s: float = 0.0
+    compile_keys: list = field(default_factory=list)
+
+
+class TDCPredictor:
+    """Single-video QA through the full pipeline, with jit caching."""
+
+    def __init__(
+        self,
+        cfg: TDCConfig,
+        params: Any,
+        tokenizer,
+        bert_tokenizer=None,
+        max_new_tokens: int = 5,
+        max_eval_frames: int = 1000,
+        text_bucket: int = 512,
+        attn_impl: str = "xla",
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.tok = tokenizer if isinstance(tokenizer, HFTokenizerAdapter) else HFTokenizerAdapter(tokenizer)
+        self.bert_tok = bert_tokenizer
+        self.max_new_tokens = max_new_tokens
+        self.max_eval_frames = max_eval_frames
+        self.text_bucket = text_bucket
+        self.attn_impl = attn_impl
+        self._gen_cache: Dict[Tuple, Any] = {}
+        self._audio_cache: Dict[int, Any] = {}
+        self.stats = PredictorStats()
+
+    # -- compiled entry points ------------------------------------------------
+
+    def _gen_fn(self, key: Tuple[int, int, int, bool, int]):
+        T, L, max_vis, has_audio, mnt = key
+        if key in self._gen_cache:
+            return self._gen_cache[key]
+        from ..serving.generate import generate
+
+        max_len = L + max_vis + 8
+
+        def fn(params, input_ids, image_pos, sig, dino, fmask, qids, qmask, tlen, atok):
+            return generate(
+                self.cfg,
+                params,
+                input_ids,
+                image_pos,
+                sig,
+                dino,
+                fmask,
+                qids,
+                qmask,
+                audio_tokens=atok if has_audio else None,
+                text_len=tlen,
+                max_new_tokens=mnt,
+                max_len=max_len,
+                max_visual_len=max_vis,
+                attn_impl=self.attn_impl,
+            )
+
+        jfn = jax.jit(fn)
+        self._gen_cache[key] = jfn
+        self.stats.compile_keys.append(key)
+        return jfn
+
+    def _audio_fn(self, n_windows: int, T: int):
+        key = (n_windows, T)
+        if key in self._audio_cache:
+            return self._audio_cache[key]
+        from ..model import encode_audio
+
+        jfn = jax.jit(
+            lambda params, wins, wmask, f, p, g, sv: encode_audio(
+                self.cfg, params, wins, wmask, f, p, g, T, sec_valid=sv
+            )
+        )
+        self._audio_cache[key] = jfn
+        return jfn
+
+    # -- host-side assembly ---------------------------------------------------
+
+    def build_text(self, question: str, qformer_prompt: Optional[str] = None):
+        conv = conv_templates[self.cfg.conv_version].copy()
+        conv.append_message(conv.roles[0], DEFAULT_IMAGE_TOKEN + "\n" + question)
+        conv.append_message(conv.roles[1], None)
+        prompt = conv.get_prompt()
+        ids = tokenizer_image_token(prompt, self.tok)
+        if "llama3" in self.cfg.conv_version and ids and ids[0] == 128000:
+            # reference strips the duplicate BOS for llama3 (eval_mlvu.py:215)
+            pass
+        img = ids.index(IMAGE_TOKEN_INDEX)
+        ids = [t if t != IMAGE_TOKEN_INDEX else 0 for t in ids]
+        qtext = qformer_prompt if qformer_prompt is not None else question
+        return ids, img, qtext
+
+    def _qformer_ids(self, text: str, max_len: int = 64):
+        if self.bert_tok is None:
+            # no BERT tokenizer available: unconditioned compression
+            return np.zeros((max_len,), np.int32), np.zeros((max_len,), bool)
+        enc = self.bert_tok(
+            text, padding="max_length", truncation=True, max_length=max_len
+        )
+        return (
+            np.asarray(enc["input_ids"], np.int32),
+            np.asarray(enc["attention_mask"], bool),
+        )
+
+    def encode_audio_tokens(self, wav: np.ndarray, T: int, frame_seconds: np.ndarray):
+        """wav -> per-frame audio tokens [T, 50, H] (jit per window bucket)."""
+        from ..ops.audio import second_groups
+
+        wins, wmask = window_audio(wav)
+        S = wins.shape[0] * 10
+        keep = np.zeros(S, np.int64)
+        sec = np.clip(frame_seconds.astype(int), 0, S - 1)
+        keep[sec] = 1
+        if keep.sum() == 0:
+            keep[0] = 1
+        f, p, g = second_groups(keep)
+        if len(g) < T:
+            g = np.concatenate([g, np.ones(T - len(g), np.int32)])
+        g = g[:T]
+        f = np.clip(f, 0, T - 1)
+        sv = np.arange(S) < max(1, int(len(wav) / 16000))
+        jfn = self._audio_fn(wins.shape[0], T)
+        return jfn(
+            self.params,
+            jnp.asarray(wins),
+            jnp.asarray(wmask),
+            jnp.asarray(f),
+            jnp.asarray(p),
+            jnp.asarray(g),
+            jnp.asarray(sv),
+        )
+
+    def answer(
+        self,
+        frames: np.ndarray,  # uint8 [T, H, W, 3]
+        question: str,
+        qformer_prompt: Optional[str] = None,
+        wav: Optional[np.ndarray] = None,
+        frame_seconds: Optional[np.ndarray] = None,
+        max_new_tokens: Optional[int] = None,
+    ) -> str:
+        t0 = time.perf_counter()
+        cfg = self.cfg
+        ids, img_pos, qtext = self.build_text(question, qformer_prompt)
+
+        # token budget -> frame resample (reference get_max_num_frames)
+        cap = budget.max_num_frames(cfg, ids, train=False)
+        cap = min(cap, self.max_eval_frames)
+        if len(frames) > cap:
+            idx = [int(len(frames) / cap * i) for i in range(cap)]
+            frames = frames[idx]
+            if frame_seconds is not None:
+                frame_seconds = frame_seconds[idx]
+
+        sig, dino = process_frames(list(frames), cfg)
+        T = frame_bucket(len(frames))
+        sig, dino, fmask = pad_frames(sig, dino, T)
+
+        L = self.text_bucket
+        while len(ids) > L:
+            L *= 2
+        padded = np.full((L,), cfg.lm.pad_token_id, np.int32)
+        padded[: len(ids)] = ids
+        qids, qmask = self._qformer_ids(qtext)
+
+        atok = None
+        if wav is not None and cfg.audio_input:
+            fs = frame_seconds if frame_seconds is not None else np.arange(len(frames))
+            atok = self.encode_audio_tokens(wav, T, fs)
+
+        max_vis = min(
+            budget.max_visual_len(cfg, ids),
+            T * (budget.tokens_per_frame(cfg) + 4) + 256,
+        )
+        max_vis = int(np.ceil(max_vis / 128) * 128)
+        mnt = max_new_tokens or self.max_new_tokens
+        key = (T, L, max_vis, atok is not None, mnt)
+        jfn = self._gen_fn(key)
+        t1 = time.perf_counter()
+        toks = jfn(
+            self.params,
+            jnp.asarray(padded)[None],
+            jnp.asarray([img_pos], jnp.int32),
+            jnp.asarray(sig, cfg.dtype)[None],
+            jnp.asarray(dino, cfg.dtype)[None],
+            jnp.asarray(fmask)[None],
+            jnp.asarray(qids)[None],
+            jnp.asarray(qmask)[None],
+            jnp.asarray([len(ids)], jnp.int32),
+            None if atok is None else atok[None].astype(cfg.dtype),
+        )
+        toks = np.asarray(toks)[0]
+        out = self.tok.decode(toks)
+        t2 = time.perf_counter()
+        self.stats.samples += 1
+        self.stats.decode_s += t1 - t0
+        self.stats.model_s += t2 - t1
+        return out.strip()
+
+    def answer_video(self, video_path: str, question: str, **kw) -> Optional[str]:
+        """Decode + answer; None when the video is unreadable (the reference
+        skips such rows, eval_mlvu.py:182-184)."""
+        try:
+            frames, ts = decode_video(
+                video_path, fps=self.cfg.video_fps, max_frames=self.max_eval_frames
+            )
+        except (IOError, FileNotFoundError):
+            return None
+        if len(frames) == 0:
+            return None
+        wav = kw.pop("wav", None)
+        if kw.pop("with_audio", False) and wav is None:
+            wav = load_audio(video_path)
+        return self.answer(frames, question, wav=wav, frame_seconds=ts, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Multi-host sharding + metric aggregation
+# ---------------------------------------------------------------------------
+
+
+def shard_samples(samples: List[Any]) -> List[Any]:
+    """Round-robin shard over hosts (replaces IterableDatasetShard)."""
+    n, i = jax.process_count(), jax.process_index()
+    return samples[i::n]
+
+
+def allgather_records(records: List[dict]) -> List[dict]:
+    """Gather JSON records from every host (replaces all_gather_object)."""
+    if jax.process_count() == 1:
+        return records
+    from jax.experimental import multihost_utils
+
+    payload = json.dumps(records)
+    data = np.frombuffer(payload.encode(), np.uint8)
+    # pad to the max length across hosts
+    n = np.asarray([len(data)], np.int32)
+    all_n = multihost_utils.process_allgather(n)
+    m = int(all_n.max())
+    buf = np.zeros((m,), np.uint8)
+    buf[: len(data)] = data
+    gathered = multihost_utils.process_allgather(buf)
+    out: List[dict] = []
+    for row, ln in zip(np.asarray(gathered).reshape(jax.process_count(), m), all_n.reshape(-1)):
+        out.extend(json.loads(bytes(row[: int(ln)]).decode()))
+    return out
+
+
+def accuracy_by_task(records: List[dict]) -> Dict[str, float]:
+    """Per-task accuracy + macro average (reference eval_mlvu.py:299-323)."""
+    acc: Dict[str, list] = {}
+    for r in records:
+        t = r.get("task_type", "all")
+        acc.setdefault(t, [0, 0])
+        acc[t][1] += 1
+        if r["pred"] == r["answer"]:
+            acc[t][0] += 1
+    out = {k: v[0] / v[1] * 100 for k, v in acc.items() if v[1]}
+    if out:
+        out["Acc"] = sum(out.values()) / len(out)
+    return out
+
+
+def dump_results(records: List[dict], metrics: Dict[str, float], out_dir: str, name: str):
+    if jax.process_index() != 0:
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    stamp = time.strftime("%Y-%m-%d-%H:%M:%S")
+    with open(os.path.join(out_dir, f"outputs-{stamp}.json"), "w") as fh:
+        json.dump(records, fh)
+    with open(os.path.join(out_dir, f"result-{stamp}.json"), "w") as fh:
+        json.dump(metrics, fh, indent=4)
+    print(f"[{name}] {metrics}", flush=True)
+
+
+# ---------------------------------------------------------------------------
+# LVCoT (reference eval/cot.py:13-66)
+# ---------------------------------------------------------------------------
+
+
+def lvcot(
+    predictor: TDCPredictor,
+    frames: np.ndarray,
+    max_forward: int = 2,
+) -> str:
+    """Long-video CoT: caption max_forward equal segments, join them into a
+    <think> prefix for the real question."""
+    outputs = []
+    seg = len(frames) // max_forward
+    for i in range(max_forward):
+        sub = frames[i * seg : (i + 1) * seg]
+        if len(sub) == 0:
+            continue
+        cap = predictor.answer(
+            sub, "Describe the video segment in detail.", max_new_tokens=128
+        )
+        outputs.append(cap)
+    return " ".join(outputs)

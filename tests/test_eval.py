@@ -1,0 +1,183 @@
+"""Eval harness tests: letter extraction, SRT parsing, dataset adapters, and
+a full tiny MLVU-style benchmark run through TDCPredictor."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tdc_video_tpu.eval.datasets import (
+    fill_musicqa_template,
+    load_mlvu,
+    parse_srt,
+    qa_template_mlvu,
+    subtitles_for_frames,
+)
+from tdc_video_tpu.eval.runner import extract_letter
+
+
+class TestExtractLetter:
+    def test_paths(self):
+        assert extract_letter("(B)") == "B"
+        assert extract_letter("Answer: C.") == "C"
+        assert extract_letter(" A ") == "A"
+        assert extract_letter("The answer is [D]") == "D"
+        assert extract_letter("nothing here") == "A"  # reference fallback
+        assert extract_letter("(E)", ("A", "B", "C", "D")) == "C"  # invalid -> idx 2
+
+
+class TestSRT:
+    def test_parse_and_select(self, tmp_path):
+        srt = """1
+00:00:00,000 --> 00:00:02,500
+hello world
+
+2
+00:00:03,000 --> 00:00:05,000
+[Music]
+
+3
+00:00:05,500 --> 00:00:09,000
+second line
+"""
+        p = tmp_path / "a.srt"
+        p.write_text(srt)
+        subs = parse_srt(str(p))
+        assert len(subs) == 3
+        assert subs[0]["text"] == "hello world"
+        text = subtitles_for_frames(subs, [1.0, 4.0, 6.0])
+        assert "hello world" in text and "second line" in text
+        assert "[Music]" not in text
+
+
+class TestTemplates:
+    def test_mlvu_template(self):
+        q, a = qa_template_mlvu(
+            {
+                "question": "What color?",
+                "candidates": ["red", "blue", "green"],
+                "answer": "blue",
+            }
+        )
+        assert "(A) red" in q and "(B) blue" in q
+        assert a == "B"
+        assert q.startswith("Question: What color?")
+
+    def test_musicqa_template(self):
+        line = {
+            "question_content": "Is the <Object> louder than the <Object>?",
+            "templ_values": "[\"drum\", \"piano\"]",
+        }
+        assert fill_musicqa_template(line) == "Is the drum louder than the piano?"
+
+    def test_load_mlvu(self, tmp_path):
+        os.makedirs(tmp_path / "json")
+        for jf, _ in [
+            ("json/4_count.json", None),
+            ("json/3_ego.json", None),
+            ("json/2_needle.json", None),
+            ("json/5_order.json", None),
+            ("json/1_plotQA.json", None),
+            ("json/6_anomaly_reco.json", None),
+            ("json/7_topic_reasoning.json", None),
+        ]:
+            (tmp_path / jf).write_text(
+                json.dumps(
+                    [
+                        {
+                            "video": "v.mp4",
+                            "question": "Q?",
+                            "candidates": ["x", "y"],
+                            "answer": "y",
+                        }
+                    ]
+                )
+            )
+        samples = load_mlvu(str(tmp_path))
+        assert len(samples) == 7
+        assert samples[0]["answer"] == "B"
+        assert samples[0]["letters"] == ["A", "B"]
+
+
+class SimpleTokenizer:
+    """Offline HF-like tokenizer: hash words to ids, decode to 'tok<i>'."""
+
+    class _Out:
+        def __init__(self, ids):
+            self.input_ids = ids
+
+    def __call__(self, text):
+        import re
+
+        specials = ["<|im_start|>", "<|im_end|>"]
+        ids = []
+        pat = "|".join(map(re.escape, specials)) + r"|\n"
+        for piece in re.split(f"({pat})", text):
+            if not piece:
+                continue
+            if piece == "<|im_start|>":
+                ids.append(201)
+            elif piece == "<|im_end|>":
+                ids.append(202)
+            elif piece == "\n":
+                ids.append(198)
+            else:
+                ids.extend(100 + (hash(w) % 300) for w in piece.split(" ") if w)
+        return self._Out(ids)
+
+    def decode(self, ids, skip_special_tokens=True):
+        return " ".join(f"tok{int(i)}" for i in ids)
+
+
+@pytest.mark.slow
+class TestPredictorEndToEnd:
+    def test_mlvu_style_run(self, tmp_path):
+        """Synthetic checkpoint + GIF videos through run_benchmark."""
+        from PIL import Image
+
+        from tdc_video_tpu.builder import load_pretrained_model
+        from tdc_video_tpu.eval.harness import run_benchmark
+        from tdc_video_tpu.eval.runner import TDCPredictor
+        from tdc_video_tpu.config import tdc_tiny
+        from test_builder import write_checkpoint
+
+        ckpt = str(tmp_path / "ckpt")
+        write_checkpoint(ckpt, tdc_tiny(), audio=False)
+        _, model, _, _ = load_pretrained_model(ckpt, load_tokenizer=False)
+
+        vid = str(tmp_path / "v.gif")
+        ims = [Image.new("RGB", (64, 48), (i * 40, 10, 10)) for i in range(6)]
+        ims[0].save(vid, save_all=True, append_images=ims[1:], duration=500, loop=0)
+
+        predictor = TDCPredictor(
+            model.cfg, model.params, SimpleTokenizer(), max_new_tokens=3,
+            text_bucket=128,
+        )
+        samples = [
+            {
+                "task_type": "count",
+                "video": vid,
+                "video_name": "v.gif",
+                "question": "How many?",
+                "prompt": "Question: How many?\nOptions:\n(A) 1\n(B) 2\nRespond with only the letter.",
+                "answer": "A",
+                "letters": ["A", "B"],
+            },
+            {
+                "task_type": "order",
+                "video": vid,
+                "video_name": "v.gif",
+                "question": "Which first?",
+                "prompt": "Question: Which first?\nOptions:\n(A) x\n(B) y\nRespond with only the letter.",
+                "answer": "B",
+                "letters": ["A", "B"],
+            },
+        ]
+        metrics = run_benchmark("mlvu", predictor, samples, out_dir=str(tmp_path / "res"))
+        assert "Acc" in metrics and "count" in metrics and "order" in metrics
+        outs = os.listdir(tmp_path / "res" / "MLVU")
+        assert any(f.startswith("outputs-") for f in outs)
+        assert any(f.startswith("result-") for f in outs)
+        # one compile key reused across both samples (same buckets)
+        assert len(predictor._gen_cache) == 1
