@@ -1,0 +1,111 @@
+"""Training entrypoint.
+
+Replaces `torchrun --nproc_per_node=8 tdc/train.py --flags`
+(scripts/stage*/*.sh): one process per host, chips via the mesh.
+
+    python -m tdc_video_tpu.train.run --stage 2 \
+        --model_path checkpoints/stage1-out --data_path data.json \
+        --image_folder /data/videos --output_dir checkpoints/stage2-out
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+import jax
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="TDC-Video TPU trainer")
+    ap.add_argument("--stage", type=int, choices=(1, 2, 3), default=2)
+    ap.add_argument("--model_path", required=True, help="checkpoint dir to start from")
+    ap.add_argument("--data_path", required=True, help="supervised JSON")
+    ap.add_argument("--image_folder", default="")
+    ap.add_argument("--audio_folder", default="")
+    ap.add_argument("--output_dir", required=True)
+    ap.add_argument("--bert_tokenizer", default="./checkpoints/bert-base-uncased")
+    ap.add_argument("--learning_rate", type=float, default=None)
+    ap.add_argument("--max_steps", type=int, default=None)
+    ap.add_argument("--max_train_frames", type=int, default=None)
+    ap.add_argument("--batch_size", type=int, default=None)
+    ap.add_argument("--model_max_length", type=int, default=None)
+    ap.add_argument("--resume", action="store_true", default=True)
+    ap.add_argument("--coordinator", default=None, help="jax.distributed coordinator addr")
+    ap.add_argument("--num_processes", type=int, default=None)
+    ap.add_argument("--process_id", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    if args.coordinator:
+        jax.distributed.initialize(
+            args.coordinator, args.num_processes, args.process_id
+        )
+
+    from ..builder import load_pretrained_model
+    from .dataset import Collator, SupervisedDataset, data_iterator
+    from .runner_utils import hf_tokenizer_protocol
+    from .stages import STAGES
+    from .trainer import Trainer
+
+    tcfg = STAGES[args.stage](args.output_dir)
+    overrides = {}
+    for f in ("learning_rate", "max_steps", "max_train_frames", "model_max_length"):
+        v = getattr(args, f)
+        if v is not None:
+            overrides[f] = v
+    if args.batch_size is not None:
+        overrides["per_device_train_batch_size"] = args.batch_size
+    tcfg = dataclasses.replace(tcfg, output_dir=args.output_dir, **overrides)
+
+    tokenizer, model, _, _ = load_pretrained_model(args.model_path)
+    bert_tok = None
+    if args.bert_tokenizer:
+        try:
+            from transformers import BertTokenizer
+
+            bert_tok = BertTokenizer.from_pretrained(
+                args.bert_tokenizer, truncation_side="right"
+            )
+        except Exception as e:  # pragma: no cover
+            print(f"no bert tokenizer ({e}); compression runs unconditioned")
+
+    ds = SupervisedDataset(
+        args.data_path,
+        model.cfg,
+        hf_tokenizer_protocol(tokenizer),
+        image_folder=args.image_folder,
+        audio_folder=args.audio_folder,
+        max_frames=tcfg.max_train_frames,
+    )
+    n_data = len(jax.devices())  # upper bound; trainer refines via its mesh
+    global_bs = tcfg.per_device_train_batch_size * max(n_data, 1)
+    steps_per_epoch = max(1, len(ds) // global_bs)
+    total = tcfg.max_steps or steps_per_epoch * tcfg.num_train_epochs
+
+    trainer = Trainer(model.cfg, tcfg, model.params, total_steps=total)
+    start_step = 0
+    if args.resume and trainer.restore_if_available():
+        start_step = trainer.step
+        print(f"resumed at step {start_step}")
+
+    collator = Collator(
+        model.cfg,
+        bert_tokenizer=bert_tok,
+        max_len=tcfg.model_max_length,
+        max_frames=tcfg.max_train_frames,
+    )
+    batches = data_iterator(
+        ds,
+        collator,
+        batch_size=trainer.n_data * tcfg.per_device_train_batch_size,
+        seed=tcfg.seed,
+        epochs=tcfg.num_train_epochs,
+        group_by_modality_length=tcfg.group_by_modality_length,
+        start_step=start_step,
+    )
+    trainer.fit(batches)
+    print(f"done at step {trainer.step}; checkpoints in {tcfg.output_dir}")
+
+
+if __name__ == "__main__":
+    main()

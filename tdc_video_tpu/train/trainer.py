@@ -1,0 +1,414 @@
+"""Trainer: freeze policies, per-module LR groups, LoRA, sharded step,
+Orbax checkpoints, resume, metrics logging.
+
+Replaces the HF Trainer + FSDP/DeepSpeed stack (tdc/mm_trainer.py:206,
+tdc/train.py:891-1294) with one jitted train step over a GSPMD mesh:
+
+* freeze policy (train.py:1143-1166 + tower/audio flags) -> an optax mask;
+* per-module LR (mm_trainer.py:246-484: projector / vision-sampler / tower
+  groups, LayerNorm+bias excluded from weight decay) -> optax.multi_transform;
+* LoRA (train.py:955-996) -> train/lora.py delta params;
+* cosine schedule with warmup_ratio (stage scripts);
+* Orbax checkpoints with save_total_limit + resume-if-checkpoint
+  (train.py:1269-1273);
+* metrics: JSONL + optional TensorBoard (train.py:53-62 TensorBoardCallback).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, Iterator, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import TDCConfig
+from ..model import tdc_loss
+from ..parallel.mesh import auto_mesh_shape, make_mesh
+from ..parallel.sharding import batch_spec, shard_tree, tdc_param_spec, to_named
+from . import lora as lora_lib
+
+Params = Any
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Stage knobs (names follow the reference flags, scripts/stage*/*.sh)."""
+
+    output_dir: str = "./checkpoints/out"
+    learning_rate: float = 5e-6
+    weight_decay: float = 0.0
+    warmup_ratio: float = 0.03
+    lr_scheduler_type: str = "cosine"
+    num_train_epochs: int = 1
+    per_device_train_batch_size: int = 1
+    gradient_accumulation_steps: int = 2
+    save_steps: int = 1000
+    save_total_limit: int = 1
+    logging_steps: int = 1
+    max_steps: Optional[int] = None
+    grad_clip: float = 1.0
+    seed: int = 42
+
+    # per-module LRs (mm_trainer.py:262-263: projector/sampler mutually excl.)
+    mm_projector_lr: Optional[float] = None
+    mm_vision_sampler_lr: Optional[float] = None
+    mm_vision_tower_lr: Optional[float] = None
+
+    # freeze policy
+    freeze_backbone: bool = False
+    tune_mm_mlp_adapter: bool = False
+    freeze_mm_mlp_adapter: bool = False
+    unfreeze_mm_vision_tower: bool = False
+    unfreeze_mm_compressor: bool = True
+    unfreeze_audio_encoder: bool = False
+
+    # LoRA (stage 3)
+    lora_enable: bool = False
+    lora_r: int = 128
+    lora_alpha: int = 256
+
+    # shapes
+    model_max_length: int = 8192
+    max_train_frames: int = 64
+    max_visual_len: int = 4096
+
+    group_by_modality_length: bool = True
+    report_to: str = "jsonl"  # "jsonl" | "tensorboard" | "none"
+
+
+def _path_names(path):
+    return [str(getattr(k, "key", getattr(k, "idx", k))) for k in path]
+
+
+def trainable_mask(params: Params, tcfg: TrainConfig) -> Params:
+    """True = leaf receives gradients (reference requires_grad policy)."""
+
+    def rule(path, leaf):
+        names = _path_names(path)
+        top = names[0]
+        if top in ("siglip", "dino"):
+            return tcfg.unfreeze_mm_vision_tower
+        if top == "beats":
+            return tcfg.unfreeze_audio_encoder
+        if top == "compressor":
+            return tcfg.unfreeze_mm_compressor
+        if top == "lm":
+            if tcfg.freeze_backbone or tcfg.lora_enable:
+                return False
+            if tcfg.tune_mm_mlp_adapter:
+                return False
+            return True
+        if top == "sva":
+            if tcfg.freeze_mm_mlp_adapter and "mm_projector" in names:
+                return False
+            return True
+        # image_newline, audio_proj, ...
+        return True
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def lr_group(path_names, tcfg: TrainConfig) -> str:
+    """Optimizer group label (mm_trainer.py:264-484 name-substring groups)."""
+    joined = "/".join(path_names)
+    if tcfg.mm_projector_lr is not None and "mm_projector" in joined:
+        return "projector"
+    if tcfg.mm_vision_sampler_lr is not None and (
+        "samplers" in joined or "vision_query" in joined
+    ):
+        return "sampler"
+    if tcfg.mm_vision_tower_lr is not None and path_names[0] in ("siglip", "dino"):
+        return "tower"
+    return "base"
+
+
+def _no_decay(path_names) -> bool:
+    """LayerNorm/bias excluded from weight decay (mm_trainer.py:261-262)."""
+    last = path_names[-1]
+    return last in ("b", "bias", "scale") or "norm" in "/".join(path_names).lower()
+
+
+def make_schedule(tcfg: TrainConfig, total_steps: int, base_lr: float):
+    warmup = max(1, int(total_steps * tcfg.warmup_ratio))
+    if tcfg.lr_scheduler_type == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            0.0, base_lr, warmup, max(total_steps, warmup + 1)
+        )
+    return optax.linear_schedule(0.0, base_lr, warmup)
+
+
+def build_optimizer(params: Params, tcfg: TrainConfig, total_steps: int):
+    """Masked, grouped AdamW with cosine schedule + grad accumulation."""
+    mask = trainable_mask(params, tcfg)
+    group_lrs = {
+        "base": tcfg.learning_rate,
+        "projector": tcfg.mm_projector_lr or tcfg.learning_rate,
+        "sampler": tcfg.mm_vision_sampler_lr or tcfg.learning_rate,
+        "tower": tcfg.mm_vision_tower_lr or tcfg.learning_rate,
+    }
+
+    flat_mask = dict(jax.tree_util.tree_leaves_with_path(mask))
+
+    def label(path, leaf):
+        if not flat_mask[path]:
+            return "frozen"
+        names = _path_names(path)
+        g = lr_group(names, tcfg)
+        d = "nd" if _no_decay(names) else "wd"
+        return f"{g}:{d}"
+
+    labels = jax.tree_util.tree_map_with_path(label, params)
+    transforms = {"frozen": optax.set_to_zero()}
+    for g, lr in group_lrs.items():
+        for d, wd in (("wd", tcfg.weight_decay), ("nd", 0.0)):
+            transforms[f"{g}:{d}"] = optax.adamw(
+                make_schedule(tcfg, total_steps, lr), weight_decay=wd
+            )
+    tx = optax.chain(
+        optax.clip_by_global_norm(tcfg.grad_clip),
+        optax.multi_transform(transforms, labels),
+    )
+    if tcfg.gradient_accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, tcfg.gradient_accumulation_steps)
+    return tx, mask
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: TDCConfig,
+        tcfg: TrainConfig,
+        params: Params,
+        total_steps: int,
+        mesh=None,
+        lora_key=None,
+    ):
+        self.cfg = cfg
+        self.tcfg = tcfg
+        self.total_steps = total_steps
+        n_dev = len(jax.devices())
+        if mesh is None:
+            n_data, n_model = auto_mesh_shape(n_dev, cfg.lm.num_kv_heads)
+            mesh = make_mesh(n_data, n_model)
+        self.mesh = mesh
+        self.n_data = mesh.devices.shape[0]
+
+        self.lora = None
+        if tcfg.lora_enable:
+            key = lora_key if lora_key is not None else jax.random.PRNGKey(tcfg.seed)
+            self.lora = lora_lib.init_lora(key, params["lm"], tcfg.lora_r)
+
+        self.p_spec = tdc_param_spec(params, fsdp_size=self.n_data)
+        self.params = shard_tree(params, self.p_spec, mesh)
+
+        train_tree = {"params": self.params} if self.lora is None else {
+            "params": self.params,
+            "lora": self.lora,
+        }
+        self.tx, self.mask = build_optimizer(
+            train_tree["params"], tcfg, total_steps
+        ) if self.lora is None else self._lora_optimizer(total_steps)
+        self.opt_state = self.tx.init(self._opt_params())
+        self.step = 0
+        self._jstep = None
+        self._metrics_fh = None
+        self._tb = None
+
+    # -- LoRA: optimize (lora, non-LM trainables) ------------------------------
+
+    def _lora_optimizer(self, total_steps):
+        tcfg = self.tcfg
+
+        def label(path, leaf):
+            return "nd" if _no_decay(_path_names(path)) else "wd"
+
+        non_lm_mask = trainable_mask(self.params, tcfg)
+        tx = optax.chain(
+            optax.clip_by_global_norm(tcfg.grad_clip),
+            optax.adamw(
+                make_schedule(tcfg, total_steps, tcfg.learning_rate),
+                weight_decay=tcfg.weight_decay,
+            ),
+        )
+        if tcfg.gradient_accumulation_steps > 1:
+            tx = optax.MultiSteps(tx, tcfg.gradient_accumulation_steps)
+        return tx, non_lm_mask
+
+    def _opt_params(self):
+        if self.lora is None:
+            return self.params
+        # LoRA stage: optimize the A/B deltas plus the forced-trainable
+        # non-LoRA modules (compressor/frame_seg/..., train.py:984-996)
+        trainables = {
+            k: v
+            for k, v in self.params.items()
+            if k in ("compressor", "sva", "image_newline", "audio_proj")
+        }
+        return {"lora": self.lora, "extra": trainables}
+
+    # -- the jitted step -------------------------------------------------------
+
+    def _loss_fn(self, opt_params, frozen_params, batch):
+        if self.lora is None:
+            params = opt_params
+        else:
+            params = dict(frozen_params)
+            params.update(opt_params["extra"])
+            params["lm"] = lora_lib.apply_lora(
+                frozen_params["lm"], opt_params["lora"], self.tcfg.lora_alpha, self.tcfg.lora_r
+            )
+        return tdc_loss(
+            self.cfg,
+            params,
+            batch,
+            max_len=self.tcfg.model_max_length,
+            max_visual_len=self.tcfg.max_visual_len,
+            remat=True,
+        )
+
+    def _make_step(self, batch):
+        b_spec = batch_spec(batch)
+
+        def step_fn(opt_params, frozen, opt_state, b):
+            loss, grads = jax.value_and_grad(self._loss_fn)(opt_params, frozen, b)
+            updates, opt_state = self.tx.update(grads, opt_state, opt_params)
+            opt_params = optax.apply_updates(opt_params, updates)
+            return opt_params, opt_state, loss
+
+        jfn = jax.jit(step_fn, donate_argnums=(0, 2))
+        return jfn, b_spec
+
+    def _pad_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        """Pad the sample axis to a multiple of the data-mesh size with
+        loss-inert rows (labels all IGNORE_INDEX, no frames)."""
+        B = batch["input_ids"].shape[0]
+        rem = (-B) % self.n_data
+        if rem == 0:
+            return batch
+        out = {}
+        for k, v in batch.items():
+            pad = np.zeros((rem,) + v.shape[1:], v.dtype)
+            if k == "input_ids":
+                pad[:] = self.cfg.lm.pad_token_id
+            elif k == "labels":
+                pad[:] = -100
+            elif k == "text_len":
+                pad[:] = 2
+            out[k] = np.concatenate([np.asarray(v), pad], axis=0)
+        return out
+
+    def train_step(self, batch: Dict[str, np.ndarray]) -> float:
+        batch = self._pad_batch(batch)
+        if self._jstep is None:
+            self._jstep, self._b_spec = self._make_step(batch)
+        b = shard_tree(
+            {k: jnp.asarray(v) for k, v in batch.items()}, self._b_spec, self.mesh
+        )
+        opt_params = self._opt_params()
+        with self.mesh:
+            opt_params, self.opt_state, loss = self._jstep(
+                opt_params, self.params, self.opt_state, b
+            )
+        if self.lora is None:
+            self.params = opt_params
+        else:
+            self.lora = opt_params["lora"]
+            self.params.update(opt_params["extra"])
+        self.step += 1
+        return float(loss)
+
+    # -- logging / checkpointing ----------------------------------------------
+
+    def log(self, metrics: Dict[str, float]):
+        metrics = {"step": self.step, "time": time.time(), **metrics}
+        if self.tcfg.report_to == "tensorboard":
+            if self._tb is None:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(
+                    os.path.join(self.tcfg.output_dir, "tensorboard_logs")
+                )
+            for k, v in metrics.items():
+                if k not in ("step", "time"):
+                    self._tb.add_scalar(k, v, self.step)
+        elif self.tcfg.report_to == "jsonl":
+            if self._metrics_fh is None:
+                os.makedirs(self.tcfg.output_dir, exist_ok=True)
+                self._metrics_fh = open(
+                    os.path.join(self.tcfg.output_dir, "metrics.jsonl"), "a"
+                )
+            self._metrics_fh.write(json.dumps(metrics) + "\n")
+            self._metrics_fh.flush()
+
+    def _ckpt_manager(self):
+        import orbax.checkpoint as ocp
+
+        path = os.path.join(os.path.abspath(self.tcfg.output_dir), "checkpoints")
+        return ocp.CheckpointManager(
+            path,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=self.tcfg.save_total_limit, create=True
+            ),
+        )
+
+    def save(self):
+        mgr = self._ckpt_manager()
+        import orbax.checkpoint as ocp
+
+        state = {"params": self.params, "step": self.step}
+        if self.lora is not None:
+            state["lora"] = self.lora
+        mgr.save(self.step, args=ocp.args.StandardSave(state))
+        mgr.wait_until_finished()
+
+    def restore_if_available(self) -> bool:
+        """resume-from-checkpoint (train.py:1269-1273)."""
+        mgr = self._ckpt_manager()
+        latest = mgr.latest_step()
+        if latest is None:
+            return False
+        import orbax.checkpoint as ocp
+
+        template = {"params": self.params, "step": 0}
+        if self.lora is not None:
+            template["lora"] = self.lora
+        state = mgr.restore(latest, args=ocp.args.StandardRestore(template))
+        self.params = state["params"]
+        if self.lora is not None:
+            self.lora = state["lora"]
+        self.step = int(state["step"])
+        return True
+
+    def export_merged(self) -> Params:
+        """Final artifact: plain param tree with LoRA baked in (the
+        merge_lora_weights.py equivalent)."""
+        if self.lora is None:
+            return self.params
+        out = dict(self.params)
+        out["lm"] = lora_lib.merge_lora_params(
+            self.params["lm"], self.lora, self.tcfg.lora_alpha, self.tcfg.lora_r
+        )
+        return out
+
+    # -- loop -------------------------------------------------------------------
+
+    def fit(self, batches: Iterator[Dict[str, np.ndarray]]):
+        t0 = time.time()
+        for batch in batches:
+            if self.tcfg.max_steps and self.step >= self.tcfg.max_steps:
+                break
+            loss = self.train_step(batch)
+            if self.step % self.tcfg.logging_steps == 0:
+                self.log({"loss": loss, "steps_per_s": self.step / max(time.time() - t0, 1e-9)})
+            if self.step % self.tcfg.save_steps == 0:
+                self.save()
+        self.save()

@@ -1,0 +1,168 @@
+"""Trainer tests: freeze policy, per-module LR groups, LoRA deltas,
+save/restore, and a short sharded training run that must reduce the loss."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tdc_video_tpu.config import tdc_tiny
+from tdc_video_tpu.constants import IGNORE_INDEX
+from tdc_video_tpu.model import init_tdc
+from tdc_video_tpu.train import lora as lora_lib
+from tdc_video_tpu.train.trainer import TrainConfig, Trainer, trainable_mask
+from tdc_video_tpu.train.dataset import modality_grouped_order, uniform_sample
+
+
+def _batch(cfg, B=2, T=4, L=24, key=0):
+    rng = np.random.default_rng(key)
+    s, d = cfg.siglip.image_size, cfg.dino.image_size
+    labels = np.full((B, L), IGNORE_INDEX, np.int32)
+    labels[:, 10:] = rng.integers(2, 100, (B, L - 10))
+    return {
+        "input_ids": np.asarray(rng.integers(2, 100, (B, L)), np.int32),
+        "labels": labels,
+        "image_pos": np.full((B,), 5, np.int32),
+        "text_len": np.full((B,), L, np.int32),
+        "has_image": np.ones((B,), bool),
+        "siglip_px": rng.normal(0, 1, (B, T, s, s, 3)).astype(np.float32),
+        "dino_px": rng.normal(0, 1, (B, T, d, d, 3)).astype(np.float32),
+        "frame_mask": np.ones((B, T), bool),
+        "qformer_text_ids": rng.integers(1, 50, (B, 6)).astype(np.int32),
+        "qformer_text_mask": np.ones((B, 6), bool),
+    }
+
+
+class TestFreezePolicy:
+    def test_default_stage2(self):
+        cfg = tdc_tiny()
+        params = init_tdc(jax.random.PRNGKey(0), cfg)
+        mask = trainable_mask(params, TrainConfig())
+        assert not any(jax.tree_util.tree_leaves(mask["siglip"]))
+        assert not any(jax.tree_util.tree_leaves(mask["dino"]))
+        assert all(jax.tree_util.tree_leaves(mask["lm"]))
+        assert all(jax.tree_util.tree_leaves(mask["compressor"]))
+
+    def test_adapter_only(self):
+        cfg = tdc_tiny()
+        params = init_tdc(jax.random.PRNGKey(0), cfg)
+        mask = trainable_mask(params, TrainConfig(tune_mm_mlp_adapter=True))
+        assert not any(jax.tree_util.tree_leaves(mask["lm"]))
+        assert all(jax.tree_util.tree_leaves(mask["sva"]))
+
+
+class TestLoRA:
+    def test_init_and_apply(self):
+        cfg = tdc_tiny()
+        params = init_tdc(jax.random.PRNGKey(0), cfg)
+        lora = lora_lib.init_lora(jax.random.PRNGKey(1), params["lm"], rank=4)
+        assert any("q_proj" in k for k in lora)
+        # B = 0 -> apply_lora is identity at init
+        merged = lora_lib.apply_lora(params["lm"], lora, alpha=8, rank=4)
+        w0 = params["lm"]["layers"]["q_proj"]["w"]
+        np.testing.assert_allclose(np.asarray(merged["layers"]["q_proj"]["w"]), np.asarray(w0))
+        # nonzero B shifts the weight by a@b * alpha/rank
+        k = "layers/q_proj/w"
+        lora[k] = dict(lora[k], b=jnp.ones_like(lora[k]["b"]))
+        merged = lora_lib.apply_lora(params["lm"], lora, alpha=8, rank=4)
+        delta = np.einsum("...ir,...ro->...io", np.asarray(lora[k]["a"]), np.ones_like(lora[k]["b"])) * 2.0
+        np.testing.assert_allclose(
+            np.asarray(merged["layers"]["q_proj"]["w"]), np.asarray(w0) + delta, rtol=1e-5
+        )
+
+
+class TestDatasetUtils:
+    def test_uniform_sample(self):
+        frames = np.arange(10)[:, None]
+        kept, bitmap = uniform_sample(frames, 4)
+        assert len(kept) == 4 and bitmap.sum() == 4
+        assert bitmap[0] == 1
+
+    def test_modality_grouped_order(self):
+        lengths = [5, 100, 7, 90, 6, 95]
+        modality = [False, True, False, True, False, True]
+        order = modality_grouped_order(lengths, modality, batch_size=2, seed=0)
+        assert sorted(order) == list(range(6))
+        # full batches are modality-pure; the ragged tail batch may mix
+        for i in range(0, 4, 2):
+            a, b = order[i], order[i + 1]
+            assert modality[a] == modality[b]
+
+
+@pytest.mark.slow
+class TestTrainerRuns:
+    def test_loss_decreases_and_freeze_respected(self, tmp_path):
+        cfg = tdc_tiny()
+        params = init_tdc(jax.random.PRNGKey(0), cfg)
+        tcfg = TrainConfig(
+            output_dir=str(tmp_path),
+            learning_rate=5e-3,
+            gradient_accumulation_steps=1,
+            model_max_length=128,
+            max_visual_len=64,
+            save_steps=1000,
+            logging_steps=1,
+        )
+        tr = Trainer(cfg, tcfg, params, total_steps=6)
+        sig0 = np.asarray(
+            jax.tree_util.tree_leaves(tr.params["siglip"])[0]
+        ).copy()
+        batch = _batch(cfg)
+        losses = [tr.train_step(batch) for _ in range(6)]
+        assert losses[-1] < losses[0], losses
+        # frozen tower unchanged
+        sig1 = np.asarray(jax.tree_util.tree_leaves(tr.params["siglip"])[0])
+        np.testing.assert_array_equal(sig0, sig1)
+        tr.log({"loss": losses[-1]})
+        assert os.path.exists(tmp_path / "metrics.jsonl")
+
+    def test_save_restore(self, tmp_path):
+        cfg = tdc_tiny()
+        params = init_tdc(jax.random.PRNGKey(0), cfg)
+        tcfg = TrainConfig(
+            output_dir=str(tmp_path),
+            model_max_length=128,
+            max_visual_len=64,
+            gradient_accumulation_steps=1,
+        )
+        tr = Trainer(cfg, tcfg, params, total_steps=4)
+        tr.train_step(_batch(cfg))
+        tr.save()
+        w_after = np.asarray(tr.params["image_newline"])
+
+        tr2 = Trainer(cfg, tcfg, init_tdc(jax.random.PRNGKey(9), cfg), total_steps=4)
+        assert tr2.restore_if_available()
+        assert tr2.step == 1
+        np.testing.assert_array_equal(np.asarray(tr2.params["image_newline"]), w_after)
+
+    def test_lora_training_updates_only_lora(self, tmp_path):
+        cfg = tdc_tiny()
+        params = init_tdc(jax.random.PRNGKey(0), cfg)
+        tcfg = TrainConfig(
+            output_dir=str(tmp_path),
+            learning_rate=1e-3,
+            lora_enable=True,
+            lora_r=4,
+            lora_alpha=8,
+            gradient_accumulation_steps=1,
+            model_max_length=128,
+            max_visual_len=64,
+        )
+        tr = Trainer(cfg, tcfg, params, total_steps=3)
+        lm_w0 = np.asarray(tr.params["lm"]["layers"]["q_proj"]["w"]).copy()
+        b0 = np.asarray(tr.lora["layers/q_proj/w"]["b"]).copy()
+        for _ in range(2):
+            loss = tr.train_step(_batch(cfg))
+        assert np.isfinite(loss)
+        # base LM untouched; lora B moved off zero
+        np.testing.assert_array_equal(
+            lm_w0, np.asarray(tr.params["lm"]["layers"]["q_proj"]["w"])
+        )
+        assert np.abs(np.asarray(tr.lora["layers/q_proj/w"]["b"]) - b0).max() > 0
+        merged = tr.export_merged()
+        assert not np.array_equal(
+            np.asarray(merged["lm"]["layers"]["q_proj"]["w"]), lm_w0
+        )
