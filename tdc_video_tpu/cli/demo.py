@@ -1,0 +1,80 @@
+"""Single-shot video(+audio) QA demo.
+
+Replaces the reference demo (main.py:17-73): decode at 1 fps, optional wav,
+qwen/llama template, greedy generate.
+
+    python -m tdc_video_tpu.cli.demo --model_path checkpoints/TDC-Qwen2-7B \
+        --video examples/video1.mp4 --audio examples/audio1.wav \
+        --question "Describe this video in detail."
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="TDC-Video TPU demo")
+    ap.add_argument("--model_path", required=True)
+    ap.add_argument("--model_base", default=None)
+    ap.add_argument("--model_name", default=None)
+    ap.add_argument("--video", required=True)
+    ap.add_argument("--audio", default=None)
+    ap.add_argument("--question", default="Describe this video in detail.")
+    ap.add_argument("--bert_tokenizer", default="./checkpoints/bert-base-uncased")
+    ap.add_argument("--max_new_tokens", type=int, default=128)
+    ap.add_argument("--max_frames", type=int, default=1000)
+    ap.add_argument("--temperature", type=float, default=0.0)
+    args = ap.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from ..builder import load_pretrained_model
+    from ..eval.runner import TDCPredictor
+    from ..media.io import decode_video, load_audio
+
+    t0 = time.time()
+    tokenizer, model, _, _ = load_pretrained_model(
+        args.model_path, args.model_base, args.model_name, dtype=jnp.bfloat16
+    )
+    bert_tok = None
+    if args.bert_tokenizer:
+        try:
+            from transformers import BertTokenizer
+
+            bert_tok = BertTokenizer.from_pretrained(
+                args.bert_tokenizer, truncation_side="right"
+            )
+        except Exception:
+            pass
+    print(f"model loaded in {time.time() - t0:.1f}s")
+
+    frames, ts = decode_video(
+        args.video, fps=model.cfg.video_fps, max_frames=args.max_frames
+    )
+    print(f"video: {len(frames)} frames @ 1 fps")
+    wav = None
+    if args.audio:
+        wav = load_audio(args.audio)
+    elif model.cfg.audio_input:
+        wav = load_audio(args.video)  # soundtrack of the video itself
+
+    predictor = TDCPredictor(
+        model.cfg,
+        model.params,
+        tokenizer,
+        bert_tokenizer=bert_tok,
+        max_new_tokens=args.max_new_tokens,
+        max_eval_frames=args.max_frames,
+    )
+    t1 = time.time()
+    answer = predictor.answer(
+        frames, args.question, wav=wav, frame_seconds=ts,
+        max_new_tokens=args.max_new_tokens,
+    )
+    print(f"\n{answer}\n\n[{time.time() - t1:.1f}s inference]")
+
+
+if __name__ == "__main__":
+    main()
