@@ -84,7 +84,7 @@ class TDCPredictor:
         max_new_tokens: int = 5,
         max_eval_frames: int = 1000,
         text_bucket: int = 512,
-        attn_impl: str = "xla",
+        attn_impl: str = "flash",
     ):
         self.cfg = cfg
         self.params = params

@@ -2,9 +2,10 @@
 
 Replaces the reference's flash-attn-2 / torch SDPA switch
 (tdc/builder.py:71-72, tdc/vision_sampler.py:123-128) with a TPU-native
-dispatch.  The flash path (ops/flash_attention.py) is used for long prefill
-self-attention; short decode steps and tiny cross-attentions stay on the XLA
-path where the MXU is already well utilized.
+dispatch.  The flash path (ops/flash_attention.py) serves long causal
+(right-padded) prefill self-attention; short decode steps and tiny
+cross-attentions stay on the XLA path where the MXU is already well
+utilized.
 """
 
 from __future__ import annotations
@@ -31,12 +32,16 @@ def attention(
     mask: Optional[jnp.ndarray] = None,  # broadcastable to [B, Hq, T, S]
     impl: str = "xla",
     scale: Optional[float] = None,
+    causal: bool = False,
 ) -> jnp.ndarray:
-    if impl == "flash" and _on_tpu() and q.shape[1] >= 128:
+    """`causal=True` asserts the mask is exactly causal-over-right-padded
+    rows, which the flash kernel implements implicitly; any other mask shape
+    must use the XLA path."""
+    if impl == "flash" and causal and _on_tpu() and q.shape[1] >= 128:
         from ..ops.flash_attention import flash_attention
 
         try:
-            return flash_attention(q, k, v, mask=mask, scale=scale)
+            return flash_attention(q, k, v, scale=scale, causal=True)
         except NotImplementedError:
             pass
     return sdpa(q, k, v, mask=mask, scale=scale)

@@ -104,6 +104,7 @@ def _layer_forward(
     cache_v: Optional[jnp.ndarray],
     write_pos: Optional[jnp.ndarray],  # [B, T] slot indices to write new k/v
     attn_impl: str,
+    causal: bool = False,
 ):
     B, T, _ = x.shape
     h = rms_norm(p["input_norm"], x, cfg.rms_norm_eps)
@@ -122,7 +123,9 @@ def _layer_forward(
     else:
         k_all, v_all = k, v
 
-    attn = attention(q, k_all.astype(q.dtype), v_all.astype(q.dtype), attn_mask, impl=attn_impl)
+    attn = attention(
+        q, k_all.astype(q.dtype), v_all.astype(q.dtype), attn_mask, impl=attn_impl, causal=causal
+    )
     attn = attn.reshape(B, T, cfg.q_dim)
     x = x + linear(p["o_proj"], attn)
 
@@ -142,13 +145,16 @@ def lm_backbone(
     attn_impl: str = "xla",
     remat: bool = False,
     dtype=jnp.bfloat16,
+    causal: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[Dict]]:
-    """Run the decoder stack; returns (final hidden [B,T,H], updated cache)."""
+    """Run the decoder stack; returns (final hidden [B,T,H], updated cache).
+    `causal=True` certifies the mask is causal over right-padded rows, which
+    unlocks the Pallas flash path."""
     x = inputs_embeds.astype(dtype)
     inv_freq = rope_inv_freq(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
     cos, sin = rope_cos_sin(positions, inv_freq)
 
-    layer_fn = functools.partial(_layer_forward, cfg, attn_impl=attn_impl)
+    layer_fn = functools.partial(_layer_forward, cfg, attn_impl=attn_impl, causal=causal)
     if remat:
         layer_fn = jax.checkpoint(layer_fn, static_argnums=())
 
@@ -214,7 +220,15 @@ def lm_forward(
     causal = jnp.tril(jnp.ones((T, T), jnp.bool_))
     mask = causal[None, None] & attention_mask[:, None, None, :]
     hidden, _ = lm_backbone(
-        cfg, params, inputs_embeds, positions, mask, attn_impl=attn_impl, remat=remat, dtype=dtype
+        cfg,
+        params,
+        inputs_embeds,
+        positions,
+        mask,
+        attn_impl=attn_impl,
+        remat=remat,
+        dtype=dtype,
+        causal=True,
     )
     return lm_head(cfg, params, hidden)
 
@@ -288,6 +302,7 @@ def prefill(
         write_pos=write_pos,
         attn_impl=attn_impl,
         dtype=dtype,
+        causal=True,
     )
     lengths = attention_mask.astype(jnp.int32).sum(-1)
     cache["mask"] = cache["mask"].at[:, :T].set(attention_mask)

@@ -5,9 +5,15 @@ dependency (tdc/builder.py:71-72).  Online-softmax tiling over the KV axis so
 long video prefill (thousands of tokens) never materializes the [T, S] score
 matrix in HBM.
 
-The kernel operates on one (batch, head-group) slice per grid step and tiles
-Q x KV blocks through VMEM.  GQA is handled by folding the query-head group
-into the Q block row dimension.
+Design:
+* grid = (batch, kv_head, q_head_group, q_block): GQA shares one VMEM-resident
+  K/V block across all query heads of the group — no jnp.repeat blow-up, and
+  the pipelined K/V fetch is reused across the two inner grid dims;
+* the KV axis streams through the MXU in `block_k` tiles with online softmax
+  (m/l running max/sum) carried in registers;
+* causal blocks above the diagonal are skipped entirely (fori_loop bound);
+* right-padded batches need no explicit key mask: with causal masking and
+  padding at the end, valid rows only ever see valid columns.
 """
 
 from __future__ import annotations
@@ -25,40 +31,45 @@ DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 512
 NEG_INF = -1e30
 
+# Set True in tests to run the kernel through the Pallas interpreter on CPU.
+INTERPRET = False
+
 
 def _flash_kernel(
     q_ref,  # [BLOCK_Q, D]
-    k_ref,  # [S, D]
-    v_ref,  # [S, D]
+    k_ref,  # [S_pad, D]
+    v_ref,  # [S_pad, D]
     o_ref,  # [BLOCK_Q, D]
     *,
     scale: float,
     causal: bool,
     block_k: int,
-    q_offset_blocks: int,
     kv_len: int,
 ):
     block_q, d = q_ref.shape
+    s_pad = k_ref.shape[0]
     q = q_ref[:].astype(jnp.float32) * scale
-    qi = pl.program_id(2) * block_q  # absolute start row of this Q block
+    qi = pl.program_id(3) * block_q  # absolute start row of this Q block
 
     m = jnp.full((block_q, 1), NEG_INF, jnp.float32)
     l = jnp.zeros((block_q, 1), jnp.float32)
     acc = jnp.zeros((block_q, d), jnp.float32)
 
-    num_kb = pl.cdiv(kv_len, block_k)
+    num_kb = s_pad // block_k
 
     def body(kb, carry):
         m, l, acc = carry
         ks = kb * block_k
         k_blk = k_ref[pl.ds(ks, block_k), :].astype(jnp.float32)
         v_blk = v_ref[pl.ds(ks, block_k), :].astype(jnp.float32)
-        s = q @ k_blk.T  # [BLOCK_Q, BLOCK_K]
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [BLOCK_Q, BLOCK_K]
 
-        row = qi + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
         col = ks + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
         mask = col < kv_len
         if causal:
+            row = qi + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
             mask = mask & (col <= row)
         s = jnp.where(mask, s, NEG_INF)
 
@@ -66,31 +77,33 @@ def _flash_kernel(
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + p @ v_blk
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
         return m_new, l, acc
 
     if causal:
-        # Only iterate KV blocks that can contain unmasked entries.
+        # Skip KV blocks strictly above the diagonal of this Q block.
         last_row = qi + block_q - 1
-        num_kb_needed = jnp.minimum(num_kb, (last_row // block_k) + 1)
+        bound = jnp.minimum(num_kb, (last_row // block_k) + 1)
     else:
-        num_kb_needed = num_kb
-    m, l, acc = jax.lax.fori_loop(0, num_kb_needed, body, (m, l, acc))
+        bound = num_kb
+    m, l, acc = jax.lax.fori_loop(0, bound, body, (m, l, acc))
 
     o_ref[:] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("causal", "scale", "block_q", "block_k"))
-def _flash_mha(
-    q: jnp.ndarray,  # [B, H, T, D]
-    k: jnp.ndarray,  # [B, H, S, D]
+def _flash_gqa(
+    q: jnp.ndarray,  # [B, Hq, T, D]
+    k: jnp.ndarray,  # [B, Hkv, S, D]
     v: jnp.ndarray,
     causal: bool,
     scale: float,
     block_q: int,
     block_k: int,
+    groups: int,
 ) -> jnp.ndarray:
-    B, H, T, D = q.shape
+    B, Hq, T, D = q.shape
     S = k.shape[2]
     t_pad = pl.cdiv(T, block_q) * block_q
     s_pad = pl.cdiv(S, block_k) * block_k
@@ -100,26 +113,29 @@ def _flash_mha(
         k = jnp.pad(k, ((0, 0), (0, 0), (0, s_pad - S), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, s_pad - S), (0, 0)))
 
-    grid = (B, H, t_pad // block_q)
+    Hkv = Hq // groups
+    grid = (B, Hkv, groups, t_pad // block_q)
     out = pl.pallas_call(
         functools.partial(
             _flash_kernel,
             scale=scale,
             causal=causal,
             block_k=block_k,
-            q_offset_blocks=0,
             kv_len=S,
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0), memory_space=pltpu.ANY),
-            pl.BlockSpec((1, 1, s_pad, D), lambda b, h, i: (b, h, 0, 0), memory_space=pltpu.ANY),
-            pl.BlockSpec((1, 1, s_pad, D), lambda b, h, i: (b, h, 0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec(
+                (None, None, block_q, D), lambda b, h, g, i: (b, h * groups + g, i, 0)
+            ),
+            pl.BlockSpec((None, None, s_pad, D), lambda b, h, g, i: (b, h, 0, 0)),
+            pl.BlockSpec((None, None, s_pad, D), lambda b, h, g, i: (b, h, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, block_q, D), lambda b, h, i: (b, h, i, 0), memory_space=pltpu.ANY
+            (None, None, block_q, D), lambda b, h, g, i: (b, h * groups + g, i, 0)
         ),
-        out_shape=jax.ShapeDtypeStruct((B, H, t_pad, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Hq, t_pad, D), q.dtype),
+        interpret=INTERPRET,
     )(q, k, v)
     return out[:, :, :T]
 
@@ -142,25 +158,22 @@ def flash_attention(
     S, Hkv = k.shape[1], k.shape[2]
     if causal is None:
         causal = T == S  # prefill
-    if mask is not None and not causal:
+    if not causal:
         raise NotImplementedError("arbitrary masks use the XLA path")
     if scale is None:
         scale = 1.0 / math.sqrt(D)
 
-    if Hkv != Hq:
-        k = jnp.repeat(k, Hq // Hkv, axis=2)
-        v = jnp.repeat(v, Hq // Hkv, axis=2)
-
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
-    out = _flash_mha(
+    out = _flash_gqa(
         qt,
         kt,
         vt,
         causal=causal,
         scale=scale,
-        block_q=min(DEFAULT_BLOCK_Q, max(128, T)),
-        block_k=min(DEFAULT_BLOCK_K, max(128, S)),
+        block_q=min(DEFAULT_BLOCK_Q, max(128, 1 << (T - 1).bit_length())),
+        block_k=min(DEFAULT_BLOCK_K, max(128, 1 << (S - 1).bit_length())),
+        groups=Hq // Hkv,
     )
     return out.transpose(0, 2, 1, 3)
