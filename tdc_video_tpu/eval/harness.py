@@ -84,6 +84,12 @@ def run_benchmark(
                 )
             except IOError:
                 continue
+            bound = line.get("bound")
+            if bound and bound[0] is not None:
+                # MVBench bounded tasks: only the [start, end] span
+                keep = (frame_seconds >= bound[0]) & (frame_seconds <= bound[1])
+                if keep.any():
+                    frames, frame_seconds = frames[keep], frame_seconds[keep]
         if frames is None or len(frames) == 0:
             continue
 

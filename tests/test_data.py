@@ -170,3 +170,23 @@ class TestImages:
         assert frame_bucket(3) == 8
         assert frame_bucket(100) == 128
         assert frame_bucket(5000) == 1000
+
+
+class TestProjectorFallbacks:
+    def test_variants(self):
+        import jax
+        import jax.numpy as jnp
+
+        from tdc_video_tpu.models.projector import init_projector, projector_forward
+
+        x = jnp.ones((2, 5, 8))
+        p = init_projector(jax.random.PRNGKey(0), "identity", 8, 16)
+        assert projector_forward(p, x).shape == (2, 5, 8)
+        p = init_projector(jax.random.PRNGKey(0), "linear", 8, 16)
+        assert projector_forward(p, x).shape == (2, 5, 16)
+        p = init_projector(jax.random.PRNGKey(0), "mlp2x_gelu", 8, 16)
+        assert projector_forward(p, x).shape == (2, 5, 16)
+        import pytest
+
+        with pytest.raises(ValueError):
+            init_projector(jax.random.PRNGKey(0), "conv", 8, 16)
