@@ -94,14 +94,26 @@ def compress_video(
     audio_feats: Optional[jnp.ndarray] = None,  # [T, A, H] (already audio_proj'ed)
     max_visual_len: int = 4096,
     dtype=jnp.float32,
+    token_valid: Optional[jnp.ndarray] = None,  # [P] bool aspect mask (compress/aspect.py)
+    query_pool: Optional[jnp.ndarray] = None,  # [K, P] masked pooling matrix
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (visual [max_visual_len, H], n_visual scalar int32)."""
+    """Returns (visual [max_visual_len, H], n_visual scalar int32).
+
+    token_valid / query_pool carry the unpad_image aspect crop (reference
+    cambrian_arch.py:512-545 + :1200-1293): invalid (padding-region) tokens
+    are excluded from the Q-Former encoder input, the pooled query, and the
+    emitted sequence — with shapes unchanged."""
     c = cfg.compression
     T, P, H = frame_feats.shape
     n = c.chunk_size
     K = c.context_token_num
     A = 0 if audio_feats is None else audio_feats.shape[1]
     MC = max_chunks(cfg, T)
+    if token_valid is None:
+        token_valid = jnp.ones((P,), jnp.bool_)
+    token_valid_pa = (
+        jnp.concatenate([token_valid, jnp.ones((A,), jnp.bool_)]) if A else token_valid
+    )
 
     tokens = frame_feats
     if audio_feats is not None:
@@ -131,7 +143,13 @@ def compress_video(
 
     # --- Query construction (reference :1633-1640) ---
     if c.query_type == "Avg_pool":
-        pooled = adaptive_avg_pool_tokens(key_visual, K)  # [MC+1, K, H]
+        if query_pool is None:
+            pooled = adaptive_avg_pool_tokens(key_visual, K)  # [MC+1, K, H]
+        else:
+            pooled = jnp.einsum(
+                "kp,mpc->mkc", query_pool.astype(jnp.float32),
+                key_visual.astype(jnp.float32),
+            ).astype(key_visual.dtype)
         query = linear(params["query_proj"], pooled)  # [MC+1, K, 768]
     else:
         query = jnp.broadcast_to(
@@ -142,7 +160,8 @@ def compress_video(
     # --- One batched Q-Former pass over all (chunk, frame) pairs ---
     B = (MC + 1) * n_comp
     enc = others.reshape(B, P + A, H)
-    enc_mask = jnp.broadcast_to(others_valid[..., None], (MC + 1, n_comp, P + A)).reshape(B, P + A)
+    enc_mask = others_valid[..., None] & token_valid_pa[None, None]
+    enc_mask = jnp.broadcast_to(enc_mask, (MC + 1, n_comp, P + A)).reshape(B, P + A)
     q_flat = query.reshape(B, K, -1)
     if c.text_input and text_ids is not None:
         ids_b = jnp.broadcast_to(text_ids[None], (B, text_ids.shape[0]))
@@ -162,7 +181,7 @@ def compress_video(
     pieces_valid = []
     if c.add_static:
         kb = key_block
-        kb_valid = jnp.broadcast_to(chunk_valid[:, None], (MC + 1, P + A))
+        kb_valid = chunk_valid[:, None] & token_valid_pa[None]
         if c.add_sep:
             kb = jnp.concatenate([kb, jnp.broadcast_to(sep[None, None], (MC + 1, 1, H))], axis=1)
             kb_valid = jnp.concatenate([kb_valid, chunk_valid[:, None]], axis=1)

@@ -108,7 +108,8 @@ class TDCPredictor:
 
         max_len = L + max_vis + 8
 
-        def fn(params, input_ids, image_pos, sig, dino, fmask, qids, qmask, tlen, atok):
+        def fn(params, input_ids, image_pos, sig, dino, fmask, qids, qmask, tlen,
+               tv, qp, atok):
             return generate(
                 self.cfg,
                 params,
@@ -121,6 +122,8 @@ class TDCPredictor:
                 qmask,
                 audio_tokens=atok if has_audio else None,
                 text_len=tlen,
+                token_valid=tv,
+                query_pool=qp,
                 max_new_tokens=mnt,
                 max_len=max_len,
                 max_visual_len=max_vis,
@@ -248,6 +251,9 @@ class TDCPredictor:
         mnt = max_new_tokens or self.max_new_tokens
         key = (T, L, max_vis, atok is not None, mnt)
         jfn = self._gen_fn(key)
+        from ..compress.aspect import frame_token_layout
+
+        tv, qp = frame_token_layout(cfg, frames.shape[1], frames.shape[2])
         t1 = time.perf_counter()
         toks = jfn(
             self.params,
@@ -259,6 +265,8 @@ class TDCPredictor:
             jnp.asarray(qids)[None],
             jnp.asarray(qmask)[None],
             jnp.asarray([len(ids)], jnp.int32),
+            jnp.asarray(tv)[None],
+            jnp.asarray(qp)[None],
             None if atok is None else atok[None].astype(cfg.dtype),
         )
         toks = np.asarray(toks)[0]

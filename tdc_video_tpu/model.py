@@ -185,6 +185,8 @@ def prepare_visual(
     qformer_text_mask: Optional[jnp.ndarray],  # [Lq]
     audio_tokens: Optional[jnp.ndarray] = None,  # [T, 50, H]
     max_visual_len: int = 4096,
+    token_valid: Optional[jnp.ndarray] = None,  # [P] aspect mask (compress/aspect.py)
+    query_pool: Optional[jnp.ndarray] = None,  # [K, P]
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Segmentation + TDC compression for ONE video.  Returns
     (visual [max_visual_len, H], n_visual)."""
@@ -200,6 +202,8 @@ def prepare_visual(
         audio_feats=audio_tokens,
         max_visual_len=max_visual_len,
         dtype=jnp.float32,
+        token_valid=token_valid,
+        query_pool=query_pool,
     )
 
 
@@ -222,6 +226,8 @@ def prepare_multimodal_inputs(
     labels: Optional[jnp.ndarray] = None,  # [B, L]
     text_len: Optional[jnp.ndarray] = None,  # [B] valid text length (right-padded)
     has_image: Optional[jnp.ndarray] = None,  # [B] bool; False rows splice no visual
+    token_valid: Optional[jnp.ndarray] = None,  # [B, P] per-sample aspect masks
+    query_pool: Optional[jnp.ndarray] = None,  # [B, K, P]
     max_len: int = 4096,
     max_visual_len: int = 2048,
     attn_impl: str = "xla",
@@ -238,18 +244,31 @@ def prepare_multimodal_inputs(
     frame_feats = frame_feats.reshape(B, T, P, -1)
     dino_feats = dino_feats.reshape(B, T, dino_feats.shape[1], -1)
 
-    def one(ff, df, fm, tid, tmask, atok):
+    if token_valid is None:
+        token_valid = jnp.ones((B, P), jnp.bool_)
+    if query_pool is None:
+        from .ops.pooling import adaptive_pool_matrix
+
+        K = cfg.compression.context_token_num
+        query_pool = jnp.broadcast_to(
+            jnp.asarray(adaptive_pool_matrix(P, K))[None], (B, K, P)
+        )
+
+    def one(ff, df, fm, tid, tmask, tv, qp, atok):
         return prepare_visual(
-            cfg, params, ff, df, fm, tid, tmask, atok, max_visual_len=max_visual_len
+            cfg, params, ff, df, fm, tid, tmask, atok,
+            max_visual_len=max_visual_len, token_valid=tv, query_pool=qp,
         )
 
     if audio_tokens is None:
-        visual, n_visual = jax.vmap(lambda a, b, c, d, e: one(a, b, c, d, e, None))(
-            frame_feats, dino_feats, frame_mask, qformer_text_ids, qformer_text_mask
-        )
+        visual, n_visual = jax.vmap(
+            lambda a, b, c, d, e, f, g: one(a, b, c, d, e, f, g, None)
+        )(frame_feats, dino_feats, frame_mask, qformer_text_ids, qformer_text_mask,
+          token_valid, query_pool)
     else:
         visual, n_visual = jax.vmap(one)(
-            frame_feats, dino_feats, frame_mask, qformer_text_ids, qformer_text_mask, audio_tokens
+            frame_feats, dino_feats, frame_mask, qformer_text_ids, qformer_text_mask,
+            token_valid, query_pool, audio_tokens,
         )
 
     text_embeds = lm_mod.embed_tokens(cfg.lm, params["lm"], input_ids, cfg.dtype)
@@ -306,6 +325,8 @@ def tdc_loss(
         labels=batch["labels"],
         text_len=batch.get("text_len"),
         has_image=batch.get("has_image"),
+        token_valid=batch.get("token_valid"),
+        query_pool=batch.get("query_pool"),
         max_len=max_len,
         max_visual_len=max_visual_len,
         attn_impl=attn_impl,

@@ -91,6 +91,8 @@ def generate(
     qformer_text_mask: Optional[jnp.ndarray] = None,
     audio_tokens: Optional[jnp.ndarray] = None,
     text_len: Optional[jnp.ndarray] = None,
+    token_valid: Optional[jnp.ndarray] = None,
+    query_pool: Optional[jnp.ndarray] = None,
     max_new_tokens: int = 64,
     max_len: int = 4096,
     max_visual_len: int = 2048,
@@ -112,6 +114,8 @@ def generate(
         qformer_text_mask,
         audio_tokens=audio_tokens,
         text_len=text_len,
+        token_valid=token_valid,
+        query_pool=query_pool,
         max_len=max_len,
         max_visual_len=max_visual_len,
         attn_impl=attn_impl,

@@ -218,12 +218,20 @@ class Collator:
         sig = np.zeros((B, Ts, s_size, s_size, 3), np.float32)
         dino = np.zeros((B, Ts, d_size, d_size, 3), np.float32)
         fmask = np.zeros((B, Ts), bool)
+        from ..compress.aspect import frame_token_layout, square_layout
+
+        tv0, qp0 = square_layout(cfg)
+        token_valid = np.broadcast_to(tv0[None], (B,) + tv0.shape).copy()
+        query_pool = np.broadcast_to(qp0[None], (B,) + qp0.shape).copy()
         for b, s in enumerate(samples):
             if s.frames is None:
                 continue
             sg, dn = process_frames(list(s.frames), cfg)
             sg, dn, m = pad_frames(sg, dn, Ts)
             sig[b], dino[b], fmask[b] = sg, dn, m
+            token_valid[b], query_pool[b] = frame_token_layout(
+                cfg, s.frames.shape[1], s.frames.shape[2]
+            )
         qids, qmask = self._qformer_ids([s.qformer_prompt for s in samples])
         return {
             "input_ids": packed["input_ids"],
@@ -236,6 +244,8 @@ class Collator:
             "frame_mask": fmask,
             "qformer_text_ids": qids,
             "qformer_text_mask": qmask,
+            "token_valid": token_valid,
+            "query_pool": query_pool,
         }
 
 
