@@ -227,3 +227,24 @@ def load_pretrained_model(
 
     context_len = cfg.tokenizer_model_max_length
     return tokenizer, TDCModel(cfg, params), tower_preprocess_list(cfg), context_len
+
+
+def load_mm_adapter(params: Any, adapter_path: str, cfg: C.TDCConfig) -> Any:
+    """Overlay an adapter-only artifact onto a base param tree (reference
+    projector-only load path, tdc/builder.py:151-166)."""
+    import jax
+    import jax.numpy as jnp
+
+    sd = from_hf.load_torch_state_dict(adapter_path)
+    sva = from_hf.convert_sva(
+        sd,
+        num_towers=2,
+        num_groups=cfg.sva.num_query_group,
+        depth=cfg.sva.connector_depth,
+        prefix="model.",
+    )
+    out = dict(params)
+    out["sva"] = jax.tree_util.tree_map(lambda x: jnp.asarray(x, cfg.param_dtype), sva)
+    if "model.image_newline" in sd:
+        out["image_newline"] = jnp.asarray(sd["model.image_newline"], cfg.param_dtype)
+    return out

@@ -290,6 +290,11 @@ class SVAConfig:
 
 SVA_DEFAULT = SVAConfig()
 
+# Video flagship connector: 12x12=144 query grid (stage 2/3 scripts,
+# scripts/stage2/train_video_qwen.sh:51-52 image_token_len 144,
+# query_num_list [144]); SVA_DEFAULT (576) is the stage-1 image setting.
+SVA_VIDEO = SVAConfig(query_num_list=(144,), image_token_len=144)
+
 SVA_TINY = SVAConfig(
     vision_hidden_size=32,
     query_num_list=(16,),
@@ -380,8 +385,10 @@ class TDCConfig:
 
 
 def tdc_qwen2_7b(audio: bool = False) -> TDCConfig:
+    """Video flagship (TDC-Qwen2-7B): 144-token SVA grid."""
     cfg = TDCConfig(
         lm=QWEN2_7B,
+        sva=SVA_VIDEO,
         qformer=_replace(QFORMER_BASE, encoder_width=QWEN2_7B.hidden_size),
         conv_version="qwen",
     )
@@ -391,8 +398,21 @@ def tdc_qwen2_7b(audio: bool = False) -> TDCConfig:
 def tdc_llama32_3b(audio: bool = False) -> TDCConfig:
     cfg = TDCConfig(
         lm=LLAMA32_3B,
+        sva=SVA_VIDEO,
         qformer=_replace(QFORMER_BASE, encoder_width=LLAMA32_3B.hidden_size),
         conv_version="llama3_2",
+    )
+    return cfg.with_audio() if audio else cfg
+
+
+def tdc_qwen2_7b_stage1(audio: bool = False) -> TDCConfig:
+    """Stage-1 image alignment config: 576-token grid
+    (scripts/stage1/train_image_qwen.sh:46-51)."""
+    cfg = TDCConfig(
+        lm=QWEN2_7B,
+        sva=SVA_DEFAULT,
+        qformer=_replace(QFORMER_BASE, encoder_width=QWEN2_7B.hidden_size),
+        conv_version="qwen",
     )
     return cfg.with_audio() if audio else cfg
 

@@ -219,3 +219,24 @@ def save_checkpoint_dir(params, cfg, out_dir: str, hf_config: dict = None) -> No
     hf.setdefault("tokenizer_model_max_length", cfg.tokenizer_model_max_length)
     with open(os.path.join(out_dir, "config.json"), "w") as fh:
         json.dump(hf, fh, indent=2)
+
+
+ADAPTER_KEYS = ("sva", "image_newline")
+
+
+def export_mm_adapter(params) -> Dict[str, Array]:
+    """Adapter-only artifact (reference mm_projector.bin flavor,
+    tdc/mm_trainer.py:487-513: projector + sampler + vision_query +
+    image_newline when tune_mm_mlp_adapter)."""
+    sd = export_sva(params["sva"], prefix="model.")
+    sd["model.image_newline"] = _np(params["image_newline"])
+    return sd
+
+
+def save_mm_adapter(params, path: str) -> None:
+    import os
+
+    from safetensors.numpy import save_file
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    save_file(export_mm_adapter(params), path)

@@ -124,3 +124,36 @@ def test_delta_ops(tmp_path):
 
     recon = load_state_dict(rd)
     np.testing.assert_allclose(recon["model.x.weight"], target["model.x.weight"], rtol=1e-6)
+
+
+def test_mm_adapter_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from tdc_video_tpu.builder import load_mm_adapter
+    from tdc_video_tpu.config import tdc_tiny
+    from tdc_video_tpu.convert.to_hf import save_mm_adapter
+    from tdc_video_tpu.model import init_tdc
+
+    cfg = tdc_tiny()
+    trained = init_tdc(jax.random.PRNGKey(7), cfg)
+    path = str(tmp_path / "mm_projector.safetensors")
+    save_mm_adapter(trained, path)
+
+    base = init_tdc(jax.random.PRNGKey(8), cfg)
+    merged = load_mm_adapter(base, path, cfg)
+    # sva + newline come from the adapter; the LM stays the base's
+    np.testing.assert_allclose(
+        np.asarray(merged["image_newline"], np.float32),
+        np.asarray(trained["image_newline"], np.float32),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(merged["sva"]["vision_query"], np.float32).squeeze(),
+        np.asarray(trained["sva"]["vision_query"], np.float32).squeeze(),
+        rtol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(merged["lm"]["final_norm"]["scale"]),
+        np.asarray(base["lm"]["final_norm"]["scale"]),
+    )
