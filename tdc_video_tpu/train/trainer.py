@@ -369,6 +369,17 @@ class Trainer:
             state["lora"] = self.lora
         mgr.save(self.step, args=ocp.args.StandardSave(state))
         mgr.wait_until_finished()
+        if self.tcfg.tune_mm_mlp_adapter:
+            # adapter-only artifact alongside the full state
+            # (reference mm_projector.bin flavor, mm_trainer.py:487-513)
+            import os
+
+            from ..convert.to_hf import save_mm_adapter
+
+            save_mm_adapter(
+                self.params,
+                os.path.join(self.tcfg.output_dir, f"mm_projector-{self.step}.safetensors"),
+            )
 
     def restore_if_available(self) -> bool:
         """resume-from-checkpoint (train.py:1269-1273)."""
