@@ -208,10 +208,23 @@ def lm_forward(
     attn_impl: str = "xla",
     remat: bool = False,
     dtype=jnp.bfloat16,
+    seq_axis: Optional[str] = None,
 ) -> jnp.ndarray:
-    """Full-sequence causal forward (training / scoring).  Returns f32 logits."""
+    """Full-sequence causal forward (training / scoring).  Returns f32 logits.
+
+    seq_axis: mesh axis name to shard the SEQUENCE dim over (sequence
+    parallelism for long prefill — a capability the reference lacks,
+    SURVEY.md section 5 "long-context").  GSPMD keeps activations/MLP sharded
+    on T and inserts the K/V all-gathers attention needs on ICI.
+    """
     if inputs_embeds is None:
         inputs_embeds = embed_tokens(cfg, params, input_ids, dtype)
+    if seq_axis is not None:
+        from jax.sharding import PartitionSpec as _P
+
+        inputs_embeds = jax.lax.with_sharding_constraint(
+            inputs_embeds, _P(None, seq_axis, None)
+        )
     B, T, _ = inputs_embeds.shape
     if attention_mask is None:
         attention_mask = jnp.ones((B, T), jnp.bool_)

@@ -107,3 +107,24 @@ class TestGraftEntry:
         fn, (params, batch) = g.entry()
         out = jax.eval_shape(fn, params, batch)
         assert out.shape[0] == 1 and out.shape[-1] == 128256
+
+
+class TestSequenceParallel:
+    def test_sp_forward_matches_unsharded(self):
+        """Sequence-sharded prefill must produce the same logits."""
+        import numpy as np
+
+        from tdc_video_tpu.config import LM_TINY
+        from tdc_video_tpu.models.lm import init_lm, lm_forward
+
+        params = init_lm(jax.random.PRNGKey(0), LM_TINY)
+        ids = jnp.asarray(np.random.default_rng(0).integers(2, 500, (2, 64)), jnp.int32)
+        ref = lm_forward(LM_TINY, params, input_ids=ids, dtype=jnp.float32)
+
+        mesh = make_mesh(4, 2)
+        fn = jax.jit(
+            lambda p, i: lm_forward(LM_TINY, p, input_ids=i, seq_axis="data", dtype=jnp.float32)
+        )
+        with mesh:
+            got = fn(params, ids)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
