@@ -75,12 +75,15 @@ def main():
         return visual, n
 
     visual, n = pipeline(params, sig, dino, jnp.asarray(0.0, cfg.dtype))  # compile+warmup
-    jax.block_until_ready(visual)
+    np.asarray(n)  # value fetch: block_until_ready can return early on this runtime
 
     t0 = time.perf_counter()
+    ns = []
     for i in range(iters):
         visual, n = pipeline(params, sig, dino, jnp.asarray(0.001 * (i + 1), cfg.dtype))
-    jax.block_until_ready(visual)
+        ns.append(n)
+    for x in ns:  # force every iteration's completion with a value fetch
+        np.asarray(x)
     dt = time.perf_counter() - t0
 
     video_sec_per_sec = (T * iters) / dt
