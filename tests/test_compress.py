@@ -231,3 +231,26 @@ def test_splice_visual():
     np.testing.assert_array_equal(lab[:3], [0, 1, 2])
     assert (lab[3:9] == -100).all()
     np.testing.assert_array_equal(lab[9:12], [4, 5, 6])
+
+
+def test_single_frame_image_qa():
+    """T=1 (image QA / stage-1 path): one chunk of one frame emits exactly
+    [static tokens + sep] (reference cambrian_arch.py:1617-1620 handles the
+    len==1 chunk by emitting only the key frame)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tdc_video_tpu.config import tdc_tiny
+    from tdc_video_tpu.compress.tdc import compress_video, init_compressor
+
+    cfg = tdc_tiny()
+    params = init_compressor(jax.random.PRNGKey(0), cfg, jnp.float32)
+    P, H = 20, cfg.lm.hidden_size
+    feats = jnp.asarray(np.random.default_rng(0).normal(0, 1, (1, P, H)), jnp.float32)
+    visual, n = compress_video(
+        cfg, params, feats, jnp.ones((1,), bool), jnp.ones((1,), bool),
+        None, None, max_visual_len=64,
+    )
+    assert int(n) == P + 1  # static + sep
+    np.testing.assert_allclose(np.asarray(visual[:P]), np.asarray(feats[0]), rtol=1e-6)
