@@ -162,6 +162,43 @@ def export_sva(params, prefix: str = "model.") -> Dict[str, Array]:
     return sd
 
 
+def export_beats(params, prefix: str) -> Dict[str, Array]:
+    """Inverse of convert_beats: fold-free export (pos_conv written as
+    weight_g/weight_v with v = w, g = ||w|| so the fold reproduces w)."""
+    sd: Dict[str, Array] = {}
+    pe = _np(params["patch_embed"]["w"])  # [256, C]
+    p_ = int(np.sqrt(pe.shape[0]))
+    sd[prefix + "patch_embedding.weight"] = pe.reshape(p_, p_, 1, -1).transpose(3, 2, 0, 1)
+    if "b" in params["patch_embed"]:
+        sd[prefix + "patch_embedding.bias"] = _np(params["patch_embed"]["b"])
+    _ln(sd, prefix + "layer_norm", params["patch_norm"])
+    _lin(sd, prefix + "post_extract_proj", params["post_extract_proj"])
+    w = _np(params["pos_conv"]["w"])  # [O, I/G, K]
+    norm = np.sqrt((w * w).sum(axis=(0, 1), keepdims=True))
+    sd[prefix + "encoder.pos_conv.0.weight_g"] = norm
+    sd[prefix + "encoder.pos_conv.0.weight_v"] = w
+    sd[prefix + "encoder.pos_conv.0.bias"] = _np(params["pos_conv"]["b"])
+    _ln(sd, prefix + "encoder.layer_norm", params["encoder_norm"])
+    n_layers = np.asarray(params["layers"]["q_proj"]["w"]).shape[0]
+    for i in range(n_layers):
+        lp = f"{prefix}encoder.layers.{i}."
+        L = _unstack(params["layers"], i)
+        _lin(sd, lp + "self_attn.q_proj", L["q_proj"])
+        _lin(sd, lp + "self_attn.k_proj", L["k_proj"])
+        _lin(sd, lp + "self_attn.v_proj", L["v_proj"])
+        _lin(sd, lp + "self_attn.out_proj", L["o_proj"])
+        _ln(sd, lp + "self_attn_layer_norm", L["attn_norm"])
+        _lin(sd, lp + "fc1", L["fc1"])
+        _lin(sd, lp + "fc2", L["fc2"])
+        _ln(sd, lp + "final_layer_norm", L["final_norm"])
+        _lin(sd, lp + "self_attn.grep_linear", L["grep_linear"])
+        sd[lp + "self_attn.grep_a"] = _np(L["grep_a"]).reshape(1, -1, 1, 1)
+    sd[prefix + "encoder.layers.0.self_attn.relative_attention_bias.weight"] = _np(
+        params["rel_pos_bias"]
+    )
+    return sd
+
+
 def export_compressor(params, cfg, prefix: str = "model.") -> Dict[str, Array]:
     sd = export_qformer(params["qformer"], cfg, prefix + "Qformer.bert.")
     _lin(sd, prefix + "query_proj", params["query_proj"])
@@ -191,6 +228,8 @@ def export_tdc(params, cfg, prefix: str = "model.") -> Dict[str, Array]:
     sd[prefix + "image_newline"] = _np(params["image_newline"])
     if "audio_proj" in params:
         _lin(sd, prefix + "audio_proj", params["audio_proj"])
+    if "beats" in params:
+        sd.update(export_beats(params["beats"], prefix + "audio_encoder.beats."))
     return sd
 
 

@@ -222,7 +222,13 @@ def prepare_multimodal_inputs(
     frame_mask: jnp.ndarray,  # [B, T]
     qformer_text_ids: Optional[jnp.ndarray],  # [B, Lq]
     qformer_text_mask: Optional[jnp.ndarray],  # [B, Lq]
-    audio_tokens: Optional[jnp.ndarray] = None,  # [B, T, 50, H]
+    audio_tokens: Optional[jnp.ndarray] = None,  # [B, T, 50, H] precomputed
+    audio_windows: Optional[jnp.ndarray] = None,  # [B, W, 160000] raw 10-s wav
+    audio_wmask: Optional[jnp.ndarray] = None,  # [B, W, 160000]
+    audio_frame_of_sec: Optional[jnp.ndarray] = None,  # [B, S]
+    audio_group_pos: Optional[jnp.ndarray] = None,  # [B, S]
+    audio_group_size: Optional[jnp.ndarray] = None,  # [B, T]
+    audio_sec_valid: Optional[jnp.ndarray] = None,  # [B, S]
     labels: Optional[jnp.ndarray] = None,  # [B, L]
     text_len: Optional[jnp.ndarray] = None,  # [B] valid text length (right-padded)
     has_image: Optional[jnp.ndarray] = None,  # [B] bool; False rows splice no visual
@@ -236,6 +242,21 @@ def prepare_multimodal_inputs(
     (cambrian_arch.py:864-1844): returns dict(embeds [B, max_len, H],
     attn_mask, labels, seq_len)."""
     B, T = frame_mask.shape
+
+    if audio_tokens is None and audio_windows is not None:
+        # In-graph audio encode (training: gradients reach BEATs/audio_proj
+        # when unfrozen; reference encodes audio inside forward,
+        # cambrian_arch.py:1547-1560)
+        audio_tokens = jax.vmap(
+            lambda w, wm, f, p_, g, sv: encode_audio(cfg, params, w, wm, f, p_, g, T, sv)
+        )(
+            audio_windows,
+            audio_wmask,
+            audio_frame_of_sec,
+            audio_group_pos,
+            audio_group_size,
+            audio_sec_valid,
+        )
 
     flat_sig = siglip_px.reshape((B * T,) + siglip_px.shape[2:])
     flat_dino = dino_px.reshape((B * T,) + dino_px.shape[2:])
@@ -322,6 +343,12 @@ def tdc_loss(
         batch.get("qformer_text_ids"),
         batch.get("qformer_text_mask"),
         audio_tokens=batch.get("audio_tokens"),
+        audio_windows=batch.get("audio_windows"),
+        audio_wmask=batch.get("audio_wmask"),
+        audio_frame_of_sec=batch.get("audio_frame_of_sec"),
+        audio_group_pos=batch.get("audio_group_pos"),
+        audio_group_size=batch.get("audio_group_size"),
+        audio_sec_valid=batch.get("audio_sec_valid"),
         labels=batch["labels"],
         text_len=batch.get("text_len"),
         has_image=batch.get("has_image"),

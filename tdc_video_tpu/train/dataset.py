@@ -185,12 +185,64 @@ class Collator:
         max_len: int = 4096,
         max_frames: int = 64,
         qformer_text_len: int = 64,
+        max_audio_windows: int = 8,  # 10-s windows per sample (80 s of audio)
     ):
         self.cfg = cfg
         self.bert_tok = bert_tokenizer
         self.max_len = max_len
         self.max_frames = max_frames
         self.qformer_text_len = qformer_text_len
+        self.max_audio_windows = max_audio_windows
+
+    def _audio_arrays(self, samples: List[TrainSample]):
+        """Raw audio windows + alignment metadata for in-graph BEATs encode
+        (reference audio path, cambrian_arch.py:1547-1598)."""
+        from ..media.io import load_audio, window_audio
+        from ..ops.audio import second_groups
+
+        B, Ts, W = len(samples), self.max_frames, self.max_audio_windows
+        win = np.zeros((B, W, 160000), np.float32)
+        wmask = np.zeros((B, W, 160000), bool)
+        S = W * 10
+        f_of_s = np.zeros((B, S), np.int32)
+        g_pos = np.zeros((B, S), np.int32)
+        g_size = np.ones((B, Ts), np.int32)
+        s_valid = np.zeros((B, S), bool)
+        any_audio = False
+        for b, s in enumerate(samples):
+            if not s.audio_path or not os.path.exists(s.audio_path):
+                continue
+            wav = load_audio(s.audio_path)
+            if wav is None:
+                continue
+            any_audio = True
+            ws, ms = window_audio(wav)
+            n = min(len(ws), W)
+            win[b, :n], wmask[b, :n] = ws[:n], ms[:n]
+            keep = (
+                s.sample_indices[: S]
+                if s.sample_indices is not None
+                else np.ones(min(S, self.max_frames), np.int64)
+            )
+            kb = np.zeros(S, np.int64)
+            kb[: len(keep)] = keep
+            if kb.sum() == 0:
+                kb[0] = 1
+            f, p, g = second_groups(kb)
+            f_of_s[b] = np.clip(f, 0, Ts - 1)
+            g_pos[b] = p
+            g_size[b, : min(len(g), Ts)] = g[:Ts]
+            s_valid[b] = np.arange(S) < max(1, int(len(wav) / 16000))
+        if not any_audio:
+            return {}
+        return {
+            "audio_windows": win,
+            "audio_wmask": wmask,
+            "audio_frame_of_sec": f_of_s,
+            "audio_group_pos": g_pos,
+            "audio_group_size": g_size,
+            "audio_sec_valid": s_valid,
+        }
 
     def _qformer_ids(self, texts: List[str]):
         L = self.qformer_text_len
@@ -233,7 +285,9 @@ class Collator:
                 cfg, s.frames.shape[1], s.frames.shape[2]
             )
         qids, qmask = self._qformer_ids([s.qformer_prompt for s in samples])
+        audio = self._audio_arrays(samples) if self.cfg.audio_input else {}
         return {
+            **audio,
             "input_ids": packed["input_ids"],
             "labels": packed["labels"],
             "image_pos": packed["image_pos"],

@@ -104,7 +104,17 @@ def main(argv=None):
         start_step=start_step,
     )
     trainer.fit(batches)
-    print(f"done at step {trainer.step}; checkpoints in {tcfg.output_dir}")
+
+    # Final artifact in the reference layout (LoRA baked in), next to the
+    # Orbax train state — the save_pretrained step of the reference
+    # (tdc/train.py:1277-1294).
+    import os
+
+    from ..convert.to_hf import save_checkpoint_dir
+
+    final = os.path.join(tcfg.output_dir, "final")
+    save_checkpoint_dir(trainer.export_merged(), model.cfg, final)
+    print(f"done at step {trainer.step}; checkpoints in {tcfg.output_dir}; final model in {final}")
 
 
 if __name__ == "__main__":

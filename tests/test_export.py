@@ -157,3 +157,17 @@ def test_mm_adapter_roundtrip(tmp_path):
         np.asarray(merged["lm"]["final_norm"]["scale"]),
         np.asarray(base["lm"]["final_norm"]["scale"]),
     )
+
+
+def test_beats_export_roundtrip():
+    import jax
+
+    from tdc_video_tpu.config import BEATS_TINY
+    from tdc_video_tpu.convert.from_hf import convert_beats
+    from tdc_video_tpu.convert.to_hf import export_beats
+    from tdc_video_tpu.models.beats import init_beats
+
+    params = init_beats(jax.random.PRNGKey(2), BEATS_TINY)
+    sd = export_beats(params, "model.audio_encoder.beats.")
+    back = convert_beats(sd, BEATS_TINY, prefix="model.audio_encoder.beats.")
+    _tree_equal(params, back, rtol=1e-5)

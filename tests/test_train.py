@@ -166,3 +166,36 @@ class TestTrainerRuns:
         assert not np.array_equal(
             np.asarray(merged["lm"]["layers"]["q_proj"]["w"]), lm_w0
         )
+
+
+@pytest.mark.slow
+def test_audio_in_graph_training(tmp_path):
+    """Stage-3 shape: raw audio windows in the batch must flow through BEATs
+    inside the train step and produce gradients for audio_proj."""
+    cfg = tdc_tiny(audio=True)
+    params = init_tdc(jax.random.PRNGKey(0), cfg)
+    B, T, L = 2, 8, 24
+    batch = _batch(cfg, B=B, T=T, L=L)
+    rng = np.random.default_rng(5)
+    W = 2
+    S = W * 10
+    batch.update(
+        audio_windows=rng.normal(0, 0.05, (B, W, 160000)).astype(np.float32),
+        audio_wmask=np.ones((B, W, 160000), bool),
+        audio_frame_of_sec=np.clip(np.arange(S) // 2, 0, T - 1)[None].repeat(B, 0).astype(np.int32),
+        audio_group_pos=(np.arange(S) % 2)[None].repeat(B, 0).astype(np.int32),
+        audio_group_size=np.full((B, T), 2, np.int32),
+        audio_sec_valid=np.ones((B, S), bool),
+    )
+    from tdc_video_tpu.model import tdc_loss
+    import jax.numpy as jnp
+
+    def loss_of_audio_proj(ap):
+        pp = dict(params)
+        pp["audio_proj"] = ap
+        return tdc_loss(cfg, pp, batch, max_len=512, max_visual_len=400, remat=False)
+
+    loss, g = jax.value_and_grad(loss_of_audio_proj)(params["audio_proj"])
+    assert np.isfinite(float(loss))
+    gn = jax.tree_util.tree_reduce(lambda a, x: a + float(jnp.abs(x).sum()), g, 0.0)
+    assert gn > 0, "no gradient reached audio_proj through the in-graph audio path"
