@@ -96,27 +96,43 @@ class TDCPredictor:
         self.attn_impl = attn_impl
         self._gen_cache: Dict[Tuple, Any] = {}
         self._audio_cache: Dict[int, Any] = {}
+        self._encode_cache: Dict[int, Any] = {}
+        self._feat_cache: Tuple[Any, Any] = (None, None)  # one-video feature cache
         self.stats = PredictorStats()
 
     # -- compiled entry points ------------------------------------------------
+
+    def _encode_fn(self, T: int):
+        """Jitted towers+SVA for a frame bucket (runs once per video)."""
+        if T in self._encode_cache:
+            return self._encode_cache[T]
+        from ..model import encode_frames
+
+        jfn = jax.jit(
+            lambda params, sig, dino: encode_frames(
+                self.cfg, params, sig, dino, attn_impl=self.attn_impl
+            )
+        )
+        self._encode_cache[T] = jfn
+        return jfn
 
     def _gen_fn(self, key: Tuple[int, int, int, bool, int]):
         T, L, max_vis, has_audio, mnt = key
         if key in self._gen_cache:
             return self._gen_cache[key]
-        from ..serving.generate import generate
+        from ..serving.generate import generate_encoded
 
         max_len = L + max_vis + 8
 
-        def fn(params, input_ids, image_pos, sig, dino, fmask, qids, qmask, tlen,
+        def fn(params, input_ids, image_pos, ff, df, fmask, qids, qmask, tlen,
                tv, qp, atok):
-            return generate(
+            return generate_encoded(
                 self.cfg,
                 params,
                 input_ids,
                 image_pos,
-                sig,
-                dino,
+                ff,
+                df,
                 fmask,
                 qids,
                 qmask,
@@ -134,6 +150,25 @@ class TDCPredictor:
         self._gen_cache[key] = jfn
         self.stats.compile_keys.append(key)
         return jfn
+
+    def encode_video(self, frames: np.ndarray, cache_key=None):
+        """Towers+SVA once per video; cached so multi-question benchmarks and
+        LVCoT reuse the features (the reference re-encodes per question)."""
+        if cache_key is not None and self._feat_cache[0] == cache_key:
+            return self._feat_cache[1]
+        sig, dino = process_frames(list(frames), self.cfg)
+        T = frame_bucket(len(frames))
+        sig, dino, fmask = pad_frames(sig, dino, T)
+        jfn = self._encode_fn(T)
+        ff, df = jfn(
+            self.params,
+            jnp.asarray(sig, self.cfg.dtype),
+            jnp.asarray(dino, self.cfg.dtype),
+        )
+        out = (ff, df, fmask, T)
+        if cache_key is not None:
+            self._feat_cache = (cache_key, out)
+        return out
 
     def _audio_fn(self, n_windows: int, T: int):
         key = (n_windows, T)
@@ -221,15 +256,14 @@ class TDCPredictor:
         # token budget -> frame resample (reference get_max_num_frames)
         cap = budget.max_num_frames(cfg, ids, train=False)
         cap = min(cap, self.max_eval_frames)
+        feat_key = (id(frames), frames.shape, min(cap, len(frames)))
         if len(frames) > cap:
             idx = [int(len(frames) / cap * i) for i in range(cap)]
             frames = frames[idx]
             if frame_seconds is not None:
                 frame_seconds = frame_seconds[idx]
 
-        sig, dino = process_frames(list(frames), cfg)
-        T = frame_bucket(len(frames))
-        sig, dino, fmask = pad_frames(sig, dino, T)
+        ff, df, fmask, T = self.encode_video(frames, cache_key=feat_key)
 
         L = self.text_bucket
         while len(ids) > L:
@@ -259,8 +293,8 @@ class TDCPredictor:
             self.params,
             jnp.asarray(padded)[None],
             jnp.asarray([img_pos], jnp.int32),
-            jnp.asarray(sig, cfg.dtype)[None],
-            jnp.asarray(dino, cfg.dtype)[None],
+            ff[None],
+            df[None],
             jnp.asarray(fmask)[None],
             jnp.asarray(qids)[None],
             jnp.asarray(qmask)[None],

@@ -265,6 +265,52 @@ def prepare_multimodal_inputs(
     frame_feats = frame_feats.reshape(B, T, P, -1)
     dino_feats = dino_feats.reshape(B, T, dino_feats.shape[1], -1)
 
+    return prepare_multimodal_from_features(
+        cfg,
+        params,
+        input_ids,
+        image_pos,
+        frame_feats,
+        dino_feats,
+        frame_mask,
+        qformer_text_ids,
+        qformer_text_mask,
+        audio_tokens=audio_tokens,
+        labels=labels,
+        text_len=text_len,
+        has_image=has_image,
+        token_valid=token_valid,
+        query_pool=query_pool,
+        max_len=max_len,
+        max_visual_len=max_visual_len,
+    )
+
+
+def prepare_multimodal_from_features(
+    cfg: TDCConfig,
+    params: Params,
+    input_ids: jnp.ndarray,  # [B, L]
+    image_pos: jnp.ndarray,  # [B]
+    frame_feats: jnp.ndarray,  # [B, T, P, H] encoded frames (encode_frames)
+    dino_feats: jnp.ndarray,  # [B, T, Nd, Cd]
+    frame_mask: jnp.ndarray,  # [B, T]
+    qformer_text_ids: Optional[jnp.ndarray],
+    qformer_text_mask: Optional[jnp.ndarray],
+    audio_tokens: Optional[jnp.ndarray] = None,
+    labels: Optional[jnp.ndarray] = None,
+    text_len: Optional[jnp.ndarray] = None,
+    has_image: Optional[jnp.ndarray] = None,
+    token_valid: Optional[jnp.ndarray] = None,
+    query_pool: Optional[jnp.ndarray] = None,
+    max_len: int = 4096,
+    max_visual_len: int = 2048,
+) -> Dict[str, jnp.ndarray]:
+    """Compression + splice over PRE-ENCODED frame features: lets callers
+    (eval predictor, LVCoT, multi-question videos) encode a video once and
+    answer many prompts against the cached features."""
+    B, T = frame_mask.shape
+    P = frame_feats.shape[2]
+
     if token_valid is None:
         token_valid = jnp.ones((B, P), jnp.bool_)
     if query_pool is None:

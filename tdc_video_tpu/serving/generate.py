@@ -171,3 +171,64 @@ def generate_text_only(
     return decode_loop(
         cfg, params, cache, first, max_new_tokens, temperature=temperature, key=key, attn_impl=attn_impl
     )
+
+
+def generate_encoded(
+    cfg: TDCConfig,
+    params: Params,
+    input_ids: jnp.ndarray,  # [B, L]
+    image_pos: jnp.ndarray,  # [B]
+    frame_feats: jnp.ndarray,  # [B, T, P, H] cached encode_frames output
+    dino_feats: jnp.ndarray,  # [B, T, Nd, Cd]
+    frame_mask: jnp.ndarray,
+    qformer_text_ids: Optional[jnp.ndarray] = None,
+    qformer_text_mask: Optional[jnp.ndarray] = None,
+    audio_tokens: Optional[jnp.ndarray] = None,
+    text_len: Optional[jnp.ndarray] = None,
+    token_valid: Optional[jnp.ndarray] = None,
+    query_pool: Optional[jnp.ndarray] = None,
+    max_new_tokens: int = 64,
+    max_len: int = 4096,
+    max_visual_len: int = 2048,
+    temperature: float = 0.0,
+    key: Optional[jnp.ndarray] = None,
+    attn_impl: str = "xla",
+) -> jnp.ndarray:
+    """Generation over PRE-ENCODED frames: the towers run once per video,
+    compression + prefill re-run per question (text-conditioned Q-Former).
+    Multi-question benchmarks (Video-MME) and LVCoT re-ask against the cached
+    features instead of re-encoding."""
+    from ..model import prepare_multimodal_from_features
+
+    mm = prepare_multimodal_from_features(
+        cfg,
+        params,
+        input_ids,
+        image_pos,
+        frame_feats,
+        dino_feats,
+        frame_mask,
+        qformer_text_ids,
+        qformer_text_mask,
+        audio_tokens=audio_tokens,
+        text_len=text_len,
+        token_valid=token_valid,
+        query_pool=query_pool,
+        max_len=max_len,
+        max_visual_len=max_visual_len,
+    )
+    B = input_ids.shape[0]
+    cache = lm_mod.init_kv_cache(cfg.lm, B, max_len + max_new_tokens, dtype=cfg.dtype)
+    logits, cache = lm_mod.prefill(
+        cfg.lm, params["lm"], mm["embeds"], mm["attn_mask"], cache, attn_impl=attn_impl, dtype=cfg.dtype
+    )
+    if temperature == 0.0:
+        first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    else:
+        key = jax.random.PRNGKey(0) if key is None else key
+        key, sub = jax.random.split(key)
+        first = temperature_sample(logits, sub, temperature)
+    return decode_loop(
+        cfg, params, cache, first, max_new_tokens,
+        temperature=temperature, key=key, attn_impl=attn_impl,
+    )
