@@ -55,13 +55,46 @@ def run_benchmark(
     out_dir: str = "./results",
     use_lvcot: bool = False,
     limit: Optional[int] = None,
+    resume: bool = True,
 ) -> dict:
     samples = shard_samples(samples)
     if limit:
         samples = samples[:limit]
+
+    # Crash resume (absent from the reference): every record is appended to a
+    # per-host JSONL as it is produced; on restart, answered (video, question)
+    # pairs are skipped.
+    import jax as _jax
+    import json as _json
+
+    os.makedirs(os.path.join(out_dir, name.upper()), exist_ok=True)
+    wal_path = os.path.join(
+        out_dir, name.upper(), f"wal-host{_jax.process_index()}.jsonl"
+    )
     records = []
+    done = set()
+    if resume and os.path.exists(wal_path):
+        with open(wal_path) as fh:
+            for line in fh:
+                try:
+                    r = _json.loads(line)
+                except ValueError:
+                    continue  # torn write from a crash
+                records.append(r)
+                done.add((r.get("video_name"), r.get("question")))
+        if records:
+            print(f"[{name}] resuming past {len(records)} answered samples", flush=True)
+    wal = open(wal_path, "a")
+
+    def emit(rec):
+        records.append(rec)
+        wal.write(_json.dumps(rec) + "\n")
+        wal.flush()
+
     t_start = time.time()
     for i, line in enumerate(samples):
+        if (line.get("video_name"), line.get("question")) in done and "questions" not in line:
+            continue
         free_form = line.get("free_form", False)
         letters = line.get("letters", ["A", "B", "C", "D"])
 
@@ -123,7 +156,7 @@ def run_benchmark(
                     qformer_prompt=q["question"],
                     wav=wav, frame_seconds=frame_seconds,
                 )
-                records.append(
+                emit(
                     {
                         "video_name": line["video_name"],
                         "question": q["question"],
@@ -153,11 +186,12 @@ def run_benchmark(
             if "question_uid" in line:
                 rec["question_uid"] = line["question_uid"]
                 rec["pred_idx"] = letters.index(rec["pred"])
-            records.append(rec)
+            emit(rec)
         if i % 10 == 0:
             el = time.time() - t_start
             print(f"[{name}] {i + 1}/{len(samples)} ({el:.0f}s)", flush=True)
 
+    wal.close()
     records = allgather_records(records)
     metrics = accuracy_by_task(records)
     dump_results(records, metrics, os.path.join(out_dir, name.upper()), name)
