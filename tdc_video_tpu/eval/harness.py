@@ -93,7 +93,10 @@ def run_benchmark(
 
     t_start = time.time()
     for i, line in enumerate(samples):
-        if (line.get("video_name"), line.get("question")) in done and "questions" not in line:
+        if "questions" in line:
+            if all((line["video_name"], q["question"]) in done for q in line["questions"]):
+                continue  # whole grouped video already answered
+        elif (line.get("video_name"), line.get("question")) in done:
             continue
         free_form = line.get("free_form", False)
         letters = line.get("letters", ["A", "B", "C", "D"])
@@ -146,6 +149,8 @@ def run_benchmark(
 
         if "questions" in line:  # grouped (videomme): many questions, one video
             for q in line["questions"]:
+                if (line["video_name"], q["question"]) in done:
+                    continue
                 opt = "".join(f"{o}\n" for o in q["choices"])
                 qprompt = (
                     f"Question: {q['question']}\nOptions:\n{opt}"
