@@ -234,6 +234,7 @@ def prepare_multimodal_inputs(
     has_image: Optional[jnp.ndarray] = None,  # [B] bool; False rows splice no visual
     token_valid: Optional[jnp.ndarray] = None,  # [B, P] per-sample aspect masks
     query_pool: Optional[jnp.ndarray] = None,  # [B, K, P]
+    frame_indices: Optional[jnp.ndarray] = None,  # [B, T] time indices (frame_pos)
     max_len: int = 4096,
     max_visual_len: int = 2048,
     attn_impl: str = "xla",
@@ -242,6 +243,10 @@ def prepare_multimodal_inputs(
     (cambrian_arch.py:864-1844): returns dict(embeds [B, max_len, H],
     attn_mask, labels, seq_len)."""
     B, T = frame_mask.shape
+    if frame_indices is None and cfg.compression.frame_pos:
+        # positional fallback when the caller has no timestamps (reference
+        # passes selected_frame_indices, cambrian_arch.py:1329-1339)
+        frame_indices = jnp.broadcast_to(jnp.arange(T)[None], (B, T))
 
     if audio_tokens is None and audio_windows is not None:
         # In-graph audio encode (training: gradients reach BEATs/audio_proj
@@ -260,7 +265,10 @@ def prepare_multimodal_inputs(
 
     flat_sig = siglip_px.reshape((B * T,) + siglip_px.shape[2:])
     flat_dino = dino_px.reshape((B * T,) + dino_px.shape[2:])
-    frame_feats, dino_feats = encode_frames(cfg, params, flat_sig, flat_dino, attn_impl=attn_impl)
+    flat_idx = None if frame_indices is None else frame_indices.reshape(B * T)
+    frame_feats, dino_feats = encode_frames(
+        cfg, params, flat_sig, flat_dino, frame_indices=flat_idx, attn_impl=attn_impl
+    )
     P = frame_feats.shape[1]
     frame_feats = frame_feats.reshape(B, T, P, -1)
     dino_feats = dino_feats.reshape(B, T, dino_feats.shape[1], -1)
