@@ -181,3 +181,39 @@ class TestPredictorEndToEnd:
         assert any(f.startswith("result-") for f in outs)
         # one compile key reused across both samples (same buckets)
         assert len(predictor._gen_cache) == 1
+
+
+@pytest.mark.slow
+class TestResume:
+    def test_wal_resume_skips_answered(self, tmp_path):
+        from PIL import Image
+
+        from tdc_video_tpu.builder import load_pretrained_model
+        from tdc_video_tpu.eval.harness import run_benchmark
+        from tdc_video_tpu.eval.runner import TDCPredictor
+        from tdc_video_tpu.config import tdc_tiny
+        from test_builder import write_checkpoint
+
+        ckpt = str(tmp_path / "ckpt")
+        write_checkpoint(ckpt, tdc_tiny(), audio=False)
+        _, model, _, _ = load_pretrained_model(ckpt, load_tokenizer=False)
+        vid = str(tmp_path / "v.gif")
+        ims = [Image.new("RGB", (64, 48), (i * 40, 10, 10)) for i in range(4)]
+        ims[0].save(vid, save_all=True, append_images=ims[1:], duration=500, loop=0)
+        predictor = TDCPredictor(
+            model.cfg, model.params, SimpleTokenizer(), max_new_tokens=2, text_bucket=128
+        )
+        samples = [
+            {
+                "task_type": "count", "video": vid, "video_name": "v.gif",
+                "question": "How many?", "prompt": "Q?\n(A) 1\n(B) 2",
+                "answer": "A", "letters": ["A", "B"],
+            }
+        ]
+        out = str(tmp_path / "res")
+        m1 = run_benchmark("mlvu", predictor, samples, out_dir=out)
+        n_before = predictor.stats.samples
+        m2 = run_benchmark("mlvu", predictor, samples, out_dir=out)
+        # resumed run answered nothing new but reports the same metrics
+        assert predictor.stats.samples == n_before
+        assert m1 == m2
