@@ -192,9 +192,11 @@ class TDCPredictor:
         conv.append_message(conv.roles[1], None)
         prompt = conv.get_prompt()
         ids = tokenizer_image_token(prompt, self.tok)
-        if "llama3" in self.cfg.conv_version and ids and ids[0] == 128000:
-            # reference strips the duplicate BOS for llama3 (eval_mlvu.py:215)
-            pass
+        if "llama3" in self.cfg.conv_version and len(ids) >= 2 and ids[0] == ids[1] == 128000:
+            # the prompt text already contains <|begin_of_text|> and the HF
+            # tokenizer prepends BOS again; the reference drops the duplicate
+            # (eval_mlvu.py:215 input_ids[0][1:])
+            ids = ids[1:]
         img = ids.index(IMAGE_TOKEN_INDEX)
         ids = [t if t != IMAGE_TOKEN_INDEX else 0 for t in ids]
         qtext = qformer_prompt if qformer_prompt is not None else question
