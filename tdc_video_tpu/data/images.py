@@ -109,3 +109,35 @@ def frame_bucket(n: int, buckets: Sequence[int] = (8, 16, 32, 64, 128, 224, 448,
         if n <= b:
             return b
     return buckets[-1]
+
+
+def device_preprocess(frames_u8, cfg: TDCConfig):
+    """On-device per-tower preprocessing: uint8 frames [T, h, w, 3] ->
+    (siglip_px, dino_px), normalized.
+
+    jnp equivalent of preprocess_frame (expand2square with mean fill +
+    bicubic resize + normalize) so the host only decodes and ships raw bytes;
+    the resize rides the TPU next to the towers (the host PIL path costs
+    ~180 ms/frame on a small host, the device path is ~free).  jax.image
+    bicubic with antialiasing stands in for PIL BICUBIC.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    T, h, w, _ = frames_u8.shape
+    side = max(h, w)
+    outs = []
+    for tp in tower_preprocess_list(cfg):
+        mean255 = jnp.asarray([int(m * 255) for m in tp.mean], jnp.float32)
+        canvas = jnp.broadcast_to(mean255, (T, side, side, 3))
+        top, left = (side - h) // 2, (side - w) // 2
+        canvas = jax.lax.dynamic_update_slice(
+            canvas, frames_u8.astype(jnp.float32), (0, top, left, 0)
+        )
+        x = jax.image.resize(
+            canvas, (T, tp.size, tp.size, 3), method="cubic", antialias=True
+        )
+        x = x / 255.0
+        x = (x - jnp.asarray(tp.mean)) / jnp.asarray(tp.std)
+        outs.append(x)
+    return outs[0], outs[1]

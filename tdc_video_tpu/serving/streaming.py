@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import TDCConfig
-from ..data.images import process_frames
+from ..data.images import device_preprocess, process_frames
 from ..model import encode_frames, prepare_visual
 
 
@@ -60,12 +60,13 @@ def _decode_chunks(
     out_q: queue.Queue,
     cfg: TDCConfig,
     stats: StreamStats,
+    device_prep: bool,
 ):
-    """Producer thread: native decode -> per-tower preprocess -> queue.
+    """Producer thread: native decode -> (host preprocess | raw uint8) -> queue.
 
     Decodes the full clip once (the C++ layer is sequential-scan based), then
-    streams preprocessed chunks; the decode cost itself is already off the
-    device timeline.
+    streams chunks; with device_prep the host ships raw uint8 frames and
+    pad/resize/normalize rides the TPU next to the towers.
     """
     from ..media.io import decode_video
 
@@ -75,10 +76,18 @@ def _decode_chunks(
         stats.decode_s += time.perf_counter() - t0
         for start in range(0, len(frames), chunk_frames):
             chunk = frames[start : start + chunk_frames]
+            n = len(chunk)
+            if device_prep:
+                if n < chunk_frames:
+                    pad = chunk_frames - n
+                    chunk = np.concatenate(
+                        [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)]
+                    )
+                out_q.put((chunk, None, n, ts[start : start + n]))
+                continue
             t1 = time.perf_counter()
             sig, dino = process_frames(list(chunk), cfg)
             stats.preprocess_s += time.perf_counter() - t1
-            n = len(chunk)
             if n < chunk_frames:
                 pad = chunk_frames - n
                 sig = np.concatenate([sig, np.zeros((pad,) + sig.shape[1:], sig.dtype)])
@@ -99,14 +108,21 @@ class StreamingEncoder:
         chunk_frames: int = 32,
         max_frames: int = 1000,
         prefetch: int = 2,
+        device_prep: bool = True,
     ):
         self.cfg = cfg
         self.params = params
         self.chunk_frames = chunk_frames
         self.max_frames = max_frames
         self.prefetch = prefetch
+        self.device_prep = device_prep
         self._encode = jax.jit(
             lambda p, s, d: encode_frames(cfg, p, s, d)
+        )
+        self._encode_u8 = jax.jit(
+            lambda p, u8: encode_frames(
+                cfg, p, *[x.astype(cfg.dtype) for x in device_preprocess(u8, cfg)]
+            )
         )
         self._compress_cache = {}
 
@@ -131,7 +147,7 @@ class StreamingEncoder:
         producer = threading.Thread(
             target=_decode_chunks,
             args=(video_path, fps or self.cfg.video_fps, self.chunk_frames,
-                  self.max_frames, q, self.cfg, stats),
+                  self.max_frames, q, self.cfg, stats, self.device_prep),
             daemon=True,
         )
         producer.start()
@@ -146,11 +162,14 @@ class StreamingEncoder:
                 break
             sig, dino, n, ts = item
             t0 = time.perf_counter()
-            ff, df = self._encode(
-                self.params,
-                jnp.asarray(sig, self.cfg.dtype),
-                jnp.asarray(dino, self.cfg.dtype),
-            )
+            if self.device_prep:
+                ff, df = self._encode_u8(self.params, jnp.asarray(sig))
+            else:
+                ff, df = self._encode(
+                    self.params,
+                    jnp.asarray(sig, self.cfg.dtype),
+                    jnp.asarray(dino, self.cfg.dtype),
+                )
             # dispatch is async; only block when harvesting
             feats_list.append(ff)
             dino_list.append(df)

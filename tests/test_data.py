@@ -190,3 +190,27 @@ class TestProjectorFallbacks:
 
         with pytest.raises(ValueError):
             init_projector(jax.random.PRNGKey(0), "conv", 8, 16)
+
+
+class TestDevicePreprocess:
+    def test_matches_host_preprocess(self):
+        """On-device pad+resize+normalize must track the PIL host path (both
+        bicubic; implementations differ, so tolerance not equality)."""
+        import jax.numpy as jnp
+
+        from tdc_video_tpu.config import tdc_qwen2_7b
+        from tdc_video_tpu.data.images import device_preprocess, process_frames
+
+        cfg = tdc_qwen2_7b()
+        rng = np.random.default_rng(0)
+        # smooth-ish content so resampling differences stay small
+        base = rng.normal(0, 1, (2, 12, 20)).repeat(8, 1).repeat(8, 2)
+        frames = ((base - base.min()) / (np.ptp(base) + 1e-9) * 255).astype(np.uint8)
+        frames = np.stack([frames, frames, frames], -1).reshape(2, 96, 160, 3)
+
+        sig_h, dino_h = process_frames(list(frames), cfg)
+        sig_d, dino_d = device_preprocess(jnp.asarray(frames), cfg)
+        for h, d in ((sig_h, sig_d), (dino_h, dino_d)):
+            diff = np.abs(np.asarray(d) - h)
+            assert diff.mean() < 0.03, diff.mean()
+            assert np.corrcoef(np.asarray(d).ravel(), h.ravel())[0, 1] > 0.995

@@ -29,7 +29,7 @@ def clip(tmp_path_factory):
 def test_streaming_matches_monolithic(clip):
     cfg = tdc_tiny()
     params = init_tdc(jax.random.PRNGKey(0), cfg)
-    enc = StreamingEncoder(cfg, params, chunk_frames=4, max_frames=100)
+    enc = StreamingEncoder(cfg, params, chunk_frames=4, max_frames=100, device_prep=False)
     ff, df, mask, ts, stats = enc.encode_stream(clip)
     # 14 frames at 1 fps, chunked by 4 -> padded to 16
     assert stats.frames == 14
@@ -60,3 +60,11 @@ def test_streaming_matches_monolithic(clip):
         rtol=2e-4,
         atol=2e-4,
     )
+
+    # device-preprocess path: same shapes/counts, numerics tracked by
+    # tests/test_data.py::TestDevicePreprocess
+    enc_d = StreamingEncoder(cfg, params, chunk_frames=4, max_frames=100, device_prep=True)
+    ffd, dfd, md, tsd, std_ = enc_d.encode_stream(clip)
+    assert ffd.shape == ff.shape and int(md.sum()) == 14
+    vd, nd, _ = enc_d.compress(ffd, dfd, md)
+    assert int(nd) == int(n_visual)
