@@ -235,6 +235,7 @@ def build_predictor(args) -> TDCPredictor:
         bert_tokenizer=bert_tok,
         max_new_tokens=args.max_new_tokens,
         max_eval_frames=args.max_frames,
+        device_preprocess=args.device_preprocess,
     )
 
 
@@ -251,6 +252,11 @@ def main(argv=None):
     ap.add_argument("--max_new_tokens", type=int, default=5)
     ap.add_argument("--max_frames", type=int, default=1000)
     ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument(
+        "--device_preprocess",
+        action="store_true",
+        help="pad/resize/normalize frames on-device (faster hosts-side; PIL parity path is the default)",
+    )
     args = ap.parse_args(argv)
 
     predictor = build_predictor(args)

@@ -85,6 +85,7 @@ class TDCPredictor:
         max_eval_frames: int = 1000,
         text_bucket: int = 512,
         attn_impl: str = "flash",
+        device_preprocess: bool = False,
     ):
         self.cfg = cfg
         self.params = params
@@ -94,6 +95,10 @@ class TDCPredictor:
         self.max_eval_frames = max_eval_frames
         self.text_bucket = text_bucket
         self.attn_impl = attn_impl
+        # False = PIL host path (bit-parity with the reference's processor
+        # chain); True = pad/resize/normalize on-device (faster on weak hosts,
+        # numerics within tolerance — tests/test_data.py::TestDevicePreprocess)
+        self.device_preprocess = device_preprocess
         self._gen_cache: Dict[Tuple, Any] = {}
         self._audio_cache: Dict[int, Any] = {}
         self._encode_cache: Dict[int, Any] = {}
@@ -156,8 +161,32 @@ class TDCPredictor:
         LVCoT reuse the features (the reference re-encodes per question)."""
         if cache_key is not None and self._feat_cache[0] == cache_key:
             return self._feat_cache[1]
-        sig, dino = process_frames(list(frames), self.cfg)
         T = frame_bucket(len(frames))
+        if self.device_preprocess:
+            from ..data.images import device_preprocess as dp
+
+            pad = T - len(frames)
+            u8 = np.concatenate(
+                [frames, np.zeros((pad,) + frames.shape[1:], frames.dtype)]
+            ) if pad else np.asarray(frames)
+            fmask = np.arange(T) < len(frames)
+            key = (T,) + tuple(u8.shape[1:3])
+            if key not in self._encode_cache:
+                from ..model import encode_frames
+
+                self._encode_cache[key] = jax.jit(
+                    lambda params, x: encode_frames(
+                        self.cfg, params,
+                        *[v.astype(self.cfg.dtype) for v in dp(x, self.cfg)],
+                        attn_impl=self.attn_impl,
+                    )
+                )
+            ff, df = self._encode_cache[key](self.params, jnp.asarray(u8))
+            out = (ff, df, fmask, T)
+            if cache_key is not None:
+                self._feat_cache = (cache_key, out)
+            return out
+        sig, dino = process_frames(list(frames), self.cfg)
         sig, dino, fmask = pad_frames(sig, dino, T)
         jfn = self._encode_fn(T)
         ff, df = jfn(
