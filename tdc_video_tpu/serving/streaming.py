@@ -153,7 +153,6 @@ class StreamingEncoder:
         producer.start()
 
         feats_list, dino_list, counts, ts_list = [], [], [], []
-        pending = None  # overlap: don't block on device until next chunk queued
         while True:
             item = q.get()
             if isinstance(item, Exception):
