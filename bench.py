@@ -68,7 +68,7 @@ def main():
         # timing loops free after the first run.
         sig = sig + salt
         dino = dino + salt
-        feats, dfeats = encode_frames(cfg, params, sig, dino)
+        feats, dfeats = encode_frames(cfg, params, sig, dino, attn_impl="flash")
         visual, n = prepare_visual(
             cfg, params, feats, dfeats, frame_mask, text_ids, text_mask, max_visual_len=4096
         )

@@ -214,10 +214,16 @@ def compress_video(
     keep = chunk_out_valid & (rev_rank > force_remove)
 
     # --- Compaction into the output buffer ---
+    # Scattering full H-wide rows is slow on TPU; scatter int32 source
+    # indices instead and GATHER the rows (slots beyond n_visual hold
+    # arbitrary rows — every consumer masks by n_visual).
     flat = chunk_out.reshape(-1, H)
     flat_keep = keep.reshape(-1)
     target = jnp.cumsum(flat_keep.astype(jnp.int32)) - 1
     slot = jnp.where(flat_keep & (target < max_visual_len), target, max_visual_len)
-    visual = jnp.zeros((max_visual_len + 1, H), tokens.dtype).at[slot].set(flat)
+    src = jnp.zeros((max_visual_len + 1,), jnp.int32).at[slot].set(
+        jnp.arange(flat.shape[0], dtype=jnp.int32)
+    )
+    visual = flat[src[:max_visual_len]]
     n_visual = jnp.minimum(flat_keep.sum(), max_visual_len).astype(jnp.int32)
-    return visual[:max_visual_len], n_visual
+    return visual, n_visual

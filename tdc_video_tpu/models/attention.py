@@ -35,13 +35,19 @@ def attention(
     causal: bool = False,
 ) -> jnp.ndarray:
     """`causal=True` asserts the mask is exactly causal-over-right-padded
-    rows, which the flash kernel implements implicitly; any other mask shape
-    must use the XLA path."""
-    if impl == "flash" and causal and _on_tpu() and q.shape[1] >= 128:
+    rows, which the flash kernel implements implicitly; mask=None non-causal
+    (ViT full attention) also takes the flash path; any other mask shape uses
+    XLA."""
+    if (
+        impl == "flash"
+        and _on_tpu()
+        and q.shape[1] >= 128
+        and (causal or mask is None)
+    ):
         from ..ops.flash_attention import flash_attention
 
         try:
-            return flash_attention(q, k, v, scale=scale, causal=True)
+            return flash_attention(q, k, v, scale=scale, causal=causal)
         except NotImplementedError:
             pass
     return sdpa(q, k, v, mask=mask, scale=scale)

@@ -158,7 +158,9 @@ def flash_attention(
     S, Hkv = k.shape[1], k.shape[2]
     if causal is None:
         causal = T == S  # prefill
-    if not causal:
+    if not causal and mask is not None:
+        # non-causal runs as FULL attention over kv_len; anything needing a
+        # real mask stays on the XLA path
         raise NotImplementedError("arbitrary masks use the XLA path")
     if scale is None:
         scale = 1.0 / math.sqrt(D)

@@ -117,11 +117,12 @@ class StreamingEncoder:
         self.prefetch = prefetch
         self.device_prep = device_prep
         self._encode = jax.jit(
-            lambda p, s, d: encode_frames(cfg, p, s, d)
+            lambda p, s, d: encode_frames(cfg, p, s, d, attn_impl="flash")
         )
         self._encode_u8 = jax.jit(
             lambda p, u8: encode_frames(
-                cfg, p, *[x.astype(cfg.dtype) for x in device_preprocess(u8, cfg)]
+                cfg, p, *[x.astype(cfg.dtype) for x in device_preprocess(u8, cfg)],
+                attn_impl="flash",
             )
         )
         self._compress_cache = {}

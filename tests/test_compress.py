@@ -136,7 +136,8 @@ def test_compress_matches_oracle(audio, boundary_pat):
     )
     assert int(n_vis) == len(ref)
     np.testing.assert_allclose(np.asarray(got)[: len(ref)], ref, rtol=2e-5, atol=2e-5)
-    assert np.all(np.asarray(got)[len(ref) :] == 0)
+    # slots beyond n_visual are unspecified (gather-based compaction);
+    # every consumer masks by n_visual
 
 
 def test_compress_budget_clamp():

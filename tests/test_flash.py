@@ -76,7 +76,20 @@ def test_cache_longer_than_query():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
 
 
-def test_non_causal_raises():
+def test_non_causal_full_attention_parity():
+    """mask=None non-causal (ViT towers) runs full attention on the flash path."""
+    rng = np.random.default_rng(3)
+    B, T, H, D = 2, 160, 4, 64
+    q = jnp.asarray(rng.normal(0, 1, (B, T, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 1, (B, T, H, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 1, (B, T, H, D)), jnp.float32)
+    out = fa.flash_attention(q, k, v, causal=False)
+    ref = sdpa(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_non_causal_with_mask_still_raises():
     q = jnp.zeros((1, 16, 2, 64))
+    m = jnp.ones((1, 1, 16, 16), bool)
     with pytest.raises(NotImplementedError):
-        fa.flash_attention(q, q, q, causal=False)
+        fa.flash_attention(q, q, q, mask=m, causal=False)
