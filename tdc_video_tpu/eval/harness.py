@@ -138,7 +138,7 @@ def run_benchmark(
 
         # LVCoT for long videos (eval_mlvu.py:189-194)
         if use_lvcot and len(frames) >= 600:
-            think = lvcot(predictor, frames, max_forward=2)
+            think = lvcot(predictor, frames, max_forward=2, video_uid=line["video_name"])
             prompt = f"<think>{think}</think>" + prompt
 
         wav = None
@@ -160,6 +160,7 @@ def run_benchmark(
                     frames, (prompt + qprompt) if sub_path else qprompt,
                     qformer_prompt=q["question"],
                     wav=wav, frame_seconds=frame_seconds,
+                    video_uid=line["video_name"],
                 )
                 emit(
                     {
@@ -175,6 +176,7 @@ def run_benchmark(
             pred = predictor.answer(
                 frames, prompt, qformer_prompt=line["question"],
                 wav=wav, frame_seconds=frame_seconds,
+                video_uid=line["video_name"],
             )
             rec = {
                 "video_name": line["video_name"],

@@ -279,6 +279,7 @@ class TDCPredictor:
         wav: Optional[np.ndarray] = None,
         frame_seconds: Optional[np.ndarray] = None,
         max_new_tokens: Optional[int] = None,
+        video_uid: Optional[str] = None,
     ) -> str:
         t0 = time.perf_counter()
         cfg = self.cfg
@@ -287,7 +288,14 @@ class TDCPredictor:
         # token budget -> frame resample (reference get_max_num_frames)
         cap = budget.max_num_frames(cfg, ids, train=False)
         cap = min(cap, self.max_eval_frames)
-        feat_key = (id(frames), frames.shape, min(cap, len(frames)))
+        # Feature-cache key must be an explicit caller-supplied uid: CPython
+        # reuses id() after GC, so keying on id(frames) can serve a previous
+        # same-shape video's features. No uid -> no caching.
+        feat_key = (
+            None
+            if video_uid is None
+            else (video_uid, frames.shape, min(cap, len(frames)))
+        )
         if len(frames) > cap:
             idx = [int(len(frames) / cap * i) for i in range(cap)]
             frames = frames[idx]
@@ -356,6 +364,7 @@ class TDCPredictor:
         wav = kw.pop("wav", None)
         if kw.pop("with_audio", False) and wav is None:
             wav = load_audio(video_path)
+        kw.setdefault("video_uid", video_path)
         return self.answer(frames, question, wav=wav, frame_seconds=ts, **kw)
 
 
@@ -427,6 +436,7 @@ def lvcot(
     predictor: TDCPredictor,
     frames: np.ndarray,
     max_forward: int = 2,
+    video_uid: Optional[str] = None,
 ) -> str:
     """Long-video CoT: caption max_forward equal segments, join them into a
     <think> prefix for the real question."""
@@ -437,7 +447,10 @@ def lvcot(
         if len(sub) == 0:
             continue
         cap = predictor.answer(
-            sub, "Describe the video segment in detail.", max_new_tokens=128
+            sub,
+            "Describe the video segment in detail.",
+            max_new_tokens=128,
+            video_uid=None if video_uid is None else f"{video_uid}#lvcot{i}",
         )
         outputs.append(cap)
     return " ".join(outputs)

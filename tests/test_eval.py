@@ -184,6 +184,43 @@ class TestPredictorEndToEnd:
 
 
 @pytest.mark.slow
+class TestFeatureCacheKey:
+    def test_distinct_videos_get_distinct_features(self, tmp_path):
+        """Regression: the feature cache once keyed on id(frames); CPython
+        reuses ids after GC, so a second same-shape video could be answered
+        against the first video's features. Keys are now caller uids."""
+        from tdc_video_tpu.builder import load_pretrained_model
+        from tdc_video_tpu.eval.runner import TDCPredictor
+        from tdc_video_tpu.config import tdc_tiny
+        from test_builder import write_checkpoint
+
+        ckpt = str(tmp_path / "ckpt")
+        write_checkpoint(ckpt, tdc_tiny(), audio=False)
+        _, model, _, _ = load_pretrained_model(ckpt, load_tokenizer=False)
+        predictor = TDCPredictor(
+            model.cfg, model.params, SimpleTokenizer(), max_new_tokens=2,
+            text_bucket=128,
+        )
+        rng = np.random.default_rng(0)
+        shape = (4, 48, 64, 3)
+        va = rng.integers(0, 255, shape, np.uint8)
+        vb = rng.integers(0, 255, shape, np.uint8)
+
+        key_a = ("vid_a", va.shape, len(va))
+        key_b = ("vid_b", vb.shape, len(vb))
+        ff_a, *_ = predictor.encode_video(va, cache_key=key_a)
+        # same-shape different video with a different uid: must re-encode
+        ff_b, *_ = predictor.encode_video(vb, cache_key=key_b)
+        assert not np.allclose(np.asarray(ff_a), np.asarray(ff_b))
+        # same uid again: served from cache (identical object)
+        ff_b2, *_ = predictor.encode_video(vb, cache_key=key_b)
+        assert ff_b2 is ff_b
+        # no uid: never cached
+        ff_c, *_ = predictor.encode_video(vb, cache_key=None)
+        assert predictor._feat_cache[0] == key_b
+
+
+@pytest.mark.slow
 class TestResume:
     def test_wal_resume_skips_answered(self, tmp_path):
         from PIL import Image
