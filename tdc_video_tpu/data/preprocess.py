@@ -111,7 +111,7 @@ def preprocess_qwen(
 
         def add(text: str, is_target: bool):
             seg = (
-                tokenizer_image_token(text, tokenizer)
+                tokenizer_image_token(text, tokenizer, bos_token_id=specials.bos)
                 if has_image and DEFAULT_IMAGE_TOKEN in text
                 else tokenizer.encode(text)
             )
@@ -159,10 +159,16 @@ def preprocess_llama3_2(
         def add(role: str, content: str, is_target: bool):
             text = f"<|start_header_id|>{role}<|end_header_id|>\n\n{content}<|eot_id|>"
             seg = (
-                tokenizer_image_token(text, tokenizer)
+                tokenizer_image_token(text, tokenizer, bos_token_id=specials.bos)
                 if has_image and DEFAULT_IMAGE_TOKEN in text
                 else tokenizer.encode(text)
             )
+            # the conversation carries exactly one BOS (prepended above); HF
+            # llama tokenizers re-add one per encode call — drop it (the
+            # reference tokenizes the whole conversation once and strips
+            # per-chunk BOS via its offset mechanism, mm_datautils.py:594-608)
+            if specials.bos is not None and seg and seg[0] == specials.bos:
+                seg = seg[1:]
             ids.extend(seg)
             if is_target:
                 labels.extend(seg)

@@ -220,7 +220,8 @@ class TDCPredictor:
         conv.append_message(conv.roles[0], DEFAULT_IMAGE_TOKEN + "\n" + question)
         conv.append_message(conv.roles[1], None)
         prompt = conv.get_prompt()
-        ids = tokenizer_image_token(prompt, self.tok)
+        bos = getattr(getattr(self.tok, "tok", None), "bos_token_id", None)
+        ids = tokenizer_image_token(prompt, self.tok, bos_token_id=bos)
         if "llama3" in self.cfg.conv_version and len(ids) >= 2 and ids[0] == ids[1] == 128000:
             # the prompt text already contains <|begin_of_text|> and the HF
             # tokenizer prepends BOS again; the reference drops the duplicate

@@ -118,6 +118,10 @@ int tdc_decode_video(const char* path, double fps, int max_dim, int max_frames,
   SwsContext* sws =
       sws_getContext(w, h, m.dec->pix_fmt, ow, oh, AV_PIX_FMT_RGB24,
                      SWS_BILINEAR, nullptr, nullptr, nullptr);
+  if (!sws) {  // exotic/unsupported source pixel format
+    close_media(&m);
+    return -3;
+  }
   AVPacket* pkt = av_packet_alloc();
   AVFrame* frame = av_frame_alloc();
 

@@ -25,6 +25,29 @@ def _on_tpu() -> bool:
         return False
 
 
+def _check_causal_mask(mask: jnp.ndarray, T: int, S: int) -> None:
+    """Debug guard for the flash path's invariant: with `causal=True` the mask
+    must equal causal-over-right-padded keys (the kernel drops the mask and
+    computes causal attention implicitly).  Only checkable on concrete arrays
+    — under jit the mask is a tracer and callers carry the invariant (every
+    causal caller right-pads; see lm.lm_forward).  A left-padded or packed
+    mask fails loudly here instead of silently attending wrong."""
+    import numpy as np
+
+    m = np.broadcast_to(np.asarray(mask), mask.shape[:-2] + (T, S)).reshape(-1, T, S)
+    key_valid = m[:, T - 1, :]  # last query row sees every valid key
+    lens = key_valid.sum(-1)
+    if not (key_valid.cumsum(-1) <= lens[:, None]).all() or not (
+        key_valid == (np.arange(S)[None] < lens[:, None])
+    ).all():
+        raise ValueError("flash causal path requires right-padded keys")
+    expected = np.tril(np.ones((T, S), bool))[None] & key_valid[:, None, :]
+    if not (m == expected).all():
+        raise ValueError(
+            "flash causal path requires mask == causal & right-padding"
+        )
+
+
 def attention(
     q: jnp.ndarray,  # [B, T, Hq, D]
     k: jnp.ndarray,  # [B, S, Hkv, D]
@@ -38,6 +61,13 @@ def attention(
     rows, which the flash kernel implements implicitly; mask=None non-causal
     (ViT full attention) also takes the flash path; any other mask shape uses
     XLA."""
+    if (
+        impl == "flash"
+        and causal
+        and mask is not None
+        and not isinstance(mask, jax.core.Tracer)
+    ):
+        _check_causal_mask(mask, q.shape[1], k.shape[1])
     if (
         impl == "flash"
         and _on_tpu()

@@ -143,7 +143,14 @@ def make_schedule(tcfg: TrainConfig, total_steps: int, base_lr: float):
         return optax.warmup_cosine_decay_schedule(
             0.0, base_lr, warmup, max(total_steps, warmup + 1)
         )
-    return optax.linear_schedule(0.0, base_lr, warmup)
+    # HF "linear": warmup to base_lr then linear decay to 0 over the rest
+    return optax.join_schedules(
+        [
+            optax.linear_schedule(0.0, base_lr, warmup),
+            optax.linear_schedule(base_lr, 0.0, max(total_steps - warmup, 1)),
+        ],
+        [warmup],
+    )
 
 
 def build_optimizer(params: Params, tcfg: TrainConfig, total_steps: int):
@@ -226,33 +233,48 @@ class Trainer:
     # -- LoRA: optimize (lora, non-LM trainables) ------------------------------
 
     def _lora_optimizer(self, total_steps):
+        """AdamW over {lora, extra} with the freeze-flag mask applied per leaf
+        (reference non-LoRA trainables list, train.py:984-996, but honoring
+        unfreeze_* flags: e.g. unfreeze_mm_compressor=False keeps the
+        compressor frozen even in LoRA mode)."""
         tcfg = self.tcfg
+        mask = trainable_mask(self.params, tcfg)
+        self._extra_keys = tuple(
+            k
+            for k in self.params
+            if k != "lm" and any(jax.tree_util.tree_leaves(mask[k]))
+        )
+        opt_mask = {
+            "lora": jax.tree_util.tree_map(lambda _: True, self.lora),
+            "extra": {k: mask[k] for k in self._extra_keys},
+        }
 
-        def label(path, leaf):
+        def label(path, trainable):
+            if not trainable:
+                return "frozen"
             return "nd" if _no_decay(_path_names(path)) else "wd"
 
-        non_lm_mask = trainable_mask(self.params, tcfg)
+        labels = jax.tree_util.tree_map_with_path(label, opt_mask)
+        sched = make_schedule(tcfg, total_steps, tcfg.learning_rate)
+        transforms = {
+            "frozen": optax.set_to_zero(),
+            "wd": optax.adamw(sched, weight_decay=tcfg.weight_decay),
+            "nd": optax.adamw(sched, weight_decay=0.0),
+        }
         tx = optax.chain(
             optax.clip_by_global_norm(tcfg.grad_clip),
-            optax.adamw(
-                make_schedule(tcfg, total_steps, tcfg.learning_rate),
-                weight_decay=tcfg.weight_decay,
-            ),
+            optax.multi_transform(transforms, labels),
         )
         if tcfg.gradient_accumulation_steps > 1:
             tx = optax.MultiSteps(tx, tcfg.gradient_accumulation_steps)
-        return tx, non_lm_mask
+        return tx, mask
 
     def _opt_params(self):
         if self.lora is None:
             return self.params
-        # LoRA stage: optimize the A/B deltas plus the forced-trainable
-        # non-LoRA modules (compressor/frame_seg/..., train.py:984-996)
-        trainables = {
-            k: v
-            for k, v in self.params.items()
-            if k in ("compressor", "sva", "image_newline", "audio_proj")
-        }
+        # LoRA stage: optimize the A/B deltas plus the non-LM modules the
+        # freeze flags leave trainable (masked per leaf in _lora_optimizer)
+        trainables = {k: self.params[k] for k in self._extra_keys}
         return {"lora": self.lora, "extra": trainables}
 
     # -- the jitted step -------------------------------------------------------

@@ -88,6 +88,26 @@ class TestTokenizerImageToken:
         tok = FakeTokenizer()
         assert tokenizer_image_token("hello", tok) == tok.encode("hello")
 
+    def test_bos_stripped_per_chunk(self):
+        """BOS-prepending tokenizers (llama3 family) emit a BOS per chunk;
+        only the leading one survives (reference mm_datautils.py:594-608)."""
+        tok = BosFakeTokenizer()
+        ids = tokenizer_image_token("hello <image> world", tok, bos_token_id=128000)
+        assert ids[0] == 128000
+        assert ids.count(128000) == 1
+        assert ids.count(IMAGE_TOKEN_INDEX) == 1
+        base = FakeTokenizer()
+        assert ids == [128000] + base.encode("hello ") + [IMAGE_TOKEN_INDEX] + base.encode(" world")
+
+
+class BosFakeTokenizer(FakeTokenizer):
+    """HF-llama-style tokenizer: prepends BOS on every encode call."""
+
+    bos_token_id = 128000
+
+    def encode(self, text):
+        return [self.bos_token_id] + super().encode(text)
+
 
 class TestPreprocessQwen:
     def _sources(self):
@@ -125,6 +145,19 @@ class TestPreprocessQwen:
         assert out["input_ids"][0][0] == 128000
         with pytest.raises(ValueError):
             preprocess(self._sources(), tok, conv_version="vicuna")
+
+    def test_llama3_single_bos_with_bos_tokenizer(self):
+        """Regression (ADVICE r1): a BOS-prepending tokenizer must not leak a
+        BOS per turn or after the <image> sentinel — the conversation carries
+        exactly one, at position 0."""
+        tok = BosFakeTokenizer()
+        out = preprocess(self._sources(), tok, conv_version="llama3_2", has_image=True)
+        ids = out["input_ids"][0]
+        assert ids[0] == 128000
+        assert ids.count(128000) == 1
+        assert ids.count(IMAGE_TOKEN_INDEX) == 1
+        i_img = ids.index(IMAGE_TOKEN_INDEX)
+        assert ids[i_img + 1] != 128000
 
 
 class TestPackText:

@@ -93,3 +93,39 @@ def test_non_causal_with_mask_still_raises():
     m = jnp.ones((1, 1, 16, 16), bool)
     with pytest.raises(NotImplementedError):
         fa.flash_attention(q, q, q, mask=m, causal=False)
+
+
+class TestCausalMaskGuard:
+    """attention(causal=True) debug guard: concrete masks must be exactly
+    causal-over-right-padding (ADVICE r1, models/attention.py)."""
+
+    def _mk(self, valid):
+        T = 8
+        km = np.zeros((1, 1, 1, T), bool)
+        km[..., :] = valid
+        tril = np.tril(np.ones((T, T), bool))[None, None]
+        return jnp.asarray(tril & km)
+
+    def test_right_padded_ok(self):
+        from tdc_video_tpu.models.attention import _check_causal_mask
+
+        m = self._mk(np.arange(8) < 5)
+        _check_causal_mask(m, 8, 8)  # no raise
+
+    def test_left_padded_rejected(self):
+        from tdc_video_tpu.models.attention import _check_causal_mask
+
+        m = self._mk(np.arange(8) >= 3)
+        with pytest.raises(ValueError):
+            _check_causal_mask(m, 8, 8)
+
+    def test_packed_rejected(self):
+        from tdc_video_tpu.models.attention import _check_causal_mask
+
+        # block-diagonal packed-sequence mask is not plain causal
+        T = 8
+        seg = np.array([0, 0, 0, 0, 1, 1, 1, 1])
+        block = seg[:, None] == seg[None, :]
+        m = jnp.asarray((np.tril(np.ones((T, T), bool)) & block)[None, None])
+        with pytest.raises(ValueError):
+            _check_causal_mask(m, T, T)

@@ -167,6 +167,37 @@ class TestTrainerRuns:
             np.asarray(merged["lm"]["layers"]["q_proj"]["w"]), lm_w0
         )
 
+    def test_lora_respects_freeze_flags(self, tmp_path):
+        """Regression (ADVICE r1): lora_enable=True with
+        unfreeze_mm_compressor=False must keep the compressor frozen."""
+        cfg = tdc_tiny()
+        params = init_tdc(jax.random.PRNGKey(0), cfg)
+        tcfg = TrainConfig(
+            output_dir=str(tmp_path),
+            learning_rate=1e-3,
+            lora_enable=True,
+            lora_r=4,
+            lora_alpha=8,
+            unfreeze_mm_compressor=False,
+            gradient_accumulation_steps=1,
+            model_max_length=128,
+            max_visual_len=64,
+        )
+        tr = Trainer(cfg, tcfg, params, total_steps=3)
+        comp0 = [np.asarray(x).copy() for x in jax.tree_util.tree_leaves(tr.params["compressor"])]
+        sva0 = [np.asarray(x).copy() for x in jax.tree_util.tree_leaves(tr.params["sva"])]
+        for _ in range(2):  # step 0 is inside warmup (lr=0)
+            loss = tr.train_step(_batch(cfg))
+        assert np.isfinite(loss)
+        for before, after in zip(comp0, jax.tree_util.tree_leaves(tr.params["compressor"])):
+            np.testing.assert_array_equal(before, np.asarray(after))
+        # sva still trains (some leaf moves)
+        moved = any(
+            np.abs(np.asarray(after) - before).max() > 0
+            for before, after in zip(sva0, jax.tree_util.tree_leaves(tr.params["sva"]))
+        )
+        assert moved
+
 
 @pytest.mark.slow
 def test_audio_in_graph_training(tmp_path):
