@@ -25,6 +25,13 @@ def _on_tpu() -> bool:
         return False
 
 
+def default_attn_impl() -> str:
+    """Platform default: the Pallas flash kernel (fwd + custom_vjp bwd) on
+    TPU, XLA attention elsewhere — mirrors the reference's flash-attn-2
+    opt-in (tdc/builder.py:71-72) but as an automatic default."""
+    return "flash" if _on_tpu() else "xla"
+
+
 def _check_causal_mask(mask: jnp.ndarray, T: int, S: int) -> None:
     """Debug guard for the flash path's invariant: with `causal=True` the mask
     must equal causal-over-right-padded keys (the kernel drops the mask and

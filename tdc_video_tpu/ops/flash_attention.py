@@ -40,6 +40,7 @@ def _flash_kernel(
     k_ref,  # [S_pad, D]
     v_ref,  # [S_pad, D]
     o_ref,  # [BLOCK_Q, D]
+    lse_ref,  # [BLOCK_Q, 1] f32 — logsumexp of scaled scores (backward residual)
     *,
     scale: float,
     causal: bool,
@@ -91,6 +92,7 @@ def _flash_kernel(
     m, l, acc = jax.lax.fori_loop(0, bound, body, (m, l, acc))
 
     o_ref[:] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    lse_ref[:] = m + jnp.log(jnp.maximum(l, 1e-30))
 
 
 def _flash_gqa(
@@ -115,7 +117,7 @@ def _flash_gqa(
 
     Hkv = Hq // groups
     grid = (B, Hkv, groups, t_pad // block_q)
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(
             _flash_kernel,
             scale=scale,
@@ -131,13 +133,265 @@ def _flash_gqa(
             pl.BlockSpec((None, None, s_pad, D), lambda b, h, g, i: (b, h, 0, 0)),
             pl.BlockSpec((None, None, s_pad, D), lambda b, h, g, i: (b, h, 0, 0)),
         ],
+        out_specs=(
+            pl.BlockSpec(
+                (None, None, block_q, D), lambda b, h, g, i: (b, h * groups + g, i, 0)
+            ),
+            pl.BlockSpec(
+                (None, None, block_q, 1), lambda b, h, g, i: (b, h * groups + g, i, 0)
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Hq, t_pad, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Hq, t_pad, 1), jnp.float32),
+        ),
+        interpret=INTERPRET,
+    )(q, k, v)
+    return out[:, :, :T], lse
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels (recompute-based: residuals are q, k, v, o, lse)
+#
+#   S = scale * Q K^T;  P = exp(S - lse);  O = P V
+#   delta_i = sum_d dO_id O_id
+#   dV = P^T dO
+#   dS = P * (dO V^T - delta)
+#   dQ = scale * dS K;   dK = scale * dS^T Q
+# ---------------------------------------------------------------------------
+
+
+def _flash_dq_kernel(
+    q_ref,  # [BLOCK_Q, D]
+    k_ref,  # [S_pad, D]
+    v_ref,  # [S_pad, D]
+    do_ref,  # [BLOCK_Q, D]
+    lse_ref,  # [BLOCK_Q, 1]
+    delta_ref,  # [BLOCK_Q, 1]
+    dq_ref,  # [BLOCK_Q, D] out
+    *,
+    scale: float,
+    causal: bool,
+    block_k: int,
+    kv_len: int,
+):
+    block_q, d = q_ref.shape
+    s_pad = k_ref.shape[0]
+    q = q_ref[:].astype(jnp.float32)
+    do = do_ref[:].astype(jnp.float32)
+    lse = lse_ref[:]
+    delta = delta_ref[:]
+    qi = pl.program_id(3) * block_q
+
+    num_kb = s_pad // block_k
+
+    def body(kb, acc):
+        ks = kb * block_k
+        k_blk = k_ref[pl.ds(ks, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[pl.ds(ks, block_k), :].astype(jnp.float32)
+        s = scale * jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        col = ks + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        mask = col < kv_len
+        if causal:
+            row = qi + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            mask = mask & (col <= row)
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(
+            do, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta)
+        return acc + jax.lax.dot_general(
+            ds, k_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    if causal:
+        last_row = qi + block_q - 1
+        bound = jnp.minimum(num_kb, (last_row // block_k) + 1)
+    else:
+        bound = num_kb
+    acc = jax.lax.fori_loop(0, bound, body, jnp.zeros((block_q, d), jnp.float32))
+    dq_ref[:] = (scale * acc).astype(dq_ref.dtype)
+
+
+def _flash_dkv_kernel(
+    q_ref,  # [BLOCK_Q, D]
+    k_ref,  # [BLOCK_K, D]
+    v_ref,  # [BLOCK_K, D]
+    do_ref,  # [BLOCK_Q, D]
+    lse_ref,  # [BLOCK_Q, 1]
+    delta_ref,  # [BLOCK_Q, 1]
+    dk_ref,  # [BLOCK_K, D] out (per-q-head partial; summed over GQA group outside)
+    dv_ref,  # [BLOCK_K, D] out
+    *,
+    scale: float,
+    causal: bool,
+    block_q: int,
+    kv_len: int,
+):
+    """Grid = (B, Hq, kv_block, q_block) with q innermost: the dk/dv output
+    block is revisited across the q iterations and accumulated in VMEM —
+    no full-T q/do residency (which OOMs VMEM at 8k context)."""
+    block_k, d = k_ref.shape
+    ks = pl.program_id(2) * block_k
+    qb = pl.program_id(3)
+    qs = qb * block_q
+
+    @pl.when(qb == 0)
+    def _init():
+        dk_ref[:] = jnp.zeros_like(dk_ref)
+        dv_ref[:] = jnp.zeros_like(dv_ref)
+
+    def _accum():
+        k = k_ref[:].astype(jnp.float32)
+        v = v_ref[:].astype(jnp.float32)
+        q_blk = q_ref[:].astype(jnp.float32)
+        do_blk = do_ref[:].astype(jnp.float32)
+        lse = lse_ref[:]
+        delta = delta_ref[:]
+        s = scale * jax.lax.dot_general(
+            q_blk, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [BLOCK_Q, BLOCK_K]
+        col = ks + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        mask = col < kv_len
+        if causal:
+            row = qs + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            mask = mask & (col <= row)
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        dv_ref[:] += jax.lax.dot_general(
+            p, do_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            do_blk, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta)
+        dk_ref[:] += scale * jax.lax.dot_general(
+            ds, q_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    if causal:
+        # Q blocks entirely above this KV block's diagonal contribute nothing.
+        pl.when(qs + block_q - 1 >= ks)(_accum)
+    else:
+        _accum()
+
+
+def _flash_gqa_bwd(
+    q,  # [B, Hq, T, D]
+    k,  # [B, Hkv, S, D]
+    v,
+    o,  # [B, Hq, T, D]
+    lse,  # [B, Hq, T_pad] f32
+    do,  # [B, Hq, T, D]
+    causal: bool,
+    scale: float,
+    block_q: int,
+    block_k: int,
+    groups: int,
+):
+    B, Hq, T, D = q.shape
+    Hkv, S = k.shape[1], k.shape[2]
+    t_pad = pl.cdiv(T, block_q) * block_q
+    s_pad = pl.cdiv(S, block_k) * block_k
+    if t_pad != T:
+        pad = ((0, 0), (0, 0), (0, t_pad - T), (0, 0))
+        q, o, do = jnp.pad(q, pad), jnp.pad(o, pad), jnp.pad(do, pad)
+    if s_pad != S:
+        pad = ((0, 0), (0, 0), (0, s_pad - S), (0, 0))
+        k, v = jnp.pad(k, pad), jnp.pad(v, pad)
+
+    # delta = rowsum(dO * O): tiny elementwise reduction, XLA fuses it
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)[..., None]
+
+    grid_q = (B, Hkv, groups, t_pad // block_q)
+    dq = pl.pallas_call(
+        functools.partial(
+            _flash_dq_kernel, scale=scale, causal=causal, block_k=block_k, kv_len=S
+        ),
+        grid=grid_q,
+        in_specs=[
+            pl.BlockSpec(
+                (None, None, block_q, D), lambda b, h, g, i: (b, h * groups + g, i, 0)
+            ),
+            pl.BlockSpec((None, None, s_pad, D), lambda b, h, g, i: (b, h, 0, 0)),
+            pl.BlockSpec((None, None, s_pad, D), lambda b, h, g, i: (b, h, 0, 0)),
+            pl.BlockSpec(
+                (None, None, block_q, D), lambda b, h, g, i: (b, h * groups + g, i, 0)
+            ),
+            pl.BlockSpec(
+                (None, None, block_q, 1), lambda b, h, g, i: (b, h * groups + g, i, 0)
+            ),
+            pl.BlockSpec(
+                (None, None, block_q, 1), lambda b, h, g, i: (b, h * groups + g, i, 0)
+            ),
+        ],
         out_specs=pl.BlockSpec(
             (None, None, block_q, D), lambda b, h, g, i: (b, h * groups + g, i, 0)
         ),
         out_shape=jax.ShapeDtypeStruct((B, Hq, t_pad, D), q.dtype),
         interpret=INTERPRET,
-    )(q, k, v)
-    return out[:, :, :T]
+    )(q, k, v, do, lse, delta)
+
+    grid_kv = (B, Hq, s_pad // block_k, t_pad // block_q)
+    dk_p, dv_p = pl.pallas_call(
+        functools.partial(
+            _flash_dkv_kernel, scale=scale, causal=causal, block_q=block_q, kv_len=S
+        ),
+        grid=grid_kv,
+        in_specs=[
+            pl.BlockSpec((None, None, block_q, D), lambda b, h, j, i: (b, h, i, 0)),
+            pl.BlockSpec(
+                (None, None, block_k, D), lambda b, h, j, i: (b, h // groups, j, 0)
+            ),
+            pl.BlockSpec(
+                (None, None, block_k, D), lambda b, h, j, i: (b, h // groups, j, 0)
+            ),
+            pl.BlockSpec((None, None, block_q, D), lambda b, h, j, i: (b, h, i, 0)),
+            pl.BlockSpec((None, None, block_q, 1), lambda b, h, j, i: (b, h, i, 0)),
+            pl.BlockSpec((None, None, block_q, 1), lambda b, h, j, i: (b, h, i, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((None, None, block_k, D), lambda b, h, j, i: (b, h, j, 0)),
+            pl.BlockSpec((None, None, block_k, D), lambda b, h, j, i: (b, h, j, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Hq, s_pad, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hq, s_pad, D), jnp.float32),
+        ),
+        interpret=INTERPRET,
+    )(q, k, v, do, lse, delta)
+    # sum per-q-head partials over each GQA group in f32
+    dk = dk_p.reshape(B, Hkv, groups, s_pad, D).sum(2).astype(k.dtype)
+    dv = dv_p.reshape(B, Hkv, groups, s_pad, D).sum(2).astype(v.dtype)
+    return dq[:, :, :T], dk[:, :, :S], dv[:, :, :S]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_core(q, k, v, causal, scale, block_q, block_k, groups):
+    out, _ = _flash_gqa(
+        q, k, v, causal=causal, scale=scale, block_q=block_q, block_k=block_k, groups=groups
+    )
+    return out
+
+
+def _flash_core_fwd(q, k, v, causal, scale, block_q, block_k, groups):
+    out, lse = _flash_gqa(
+        q, k, v, causal=causal, scale=scale, block_q=block_q, block_k=block_k, groups=groups
+    )
+    return out, (q, k, v, out, lse)
+
+
+def _flash_core_bwd(causal, scale, block_q, block_k, groups, res, do):
+    q, k, v, o, lse = res
+    dq, dk, dv = _flash_gqa_bwd(
+        q, k, v, o, lse, do,
+        causal=causal, scale=scale, block_q=block_q, block_k=block_k, groups=groups,
+    )
+    return dq, dk, dv
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
 def flash_attention(
@@ -168,14 +422,14 @@ def flash_attention(
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
-    out = _flash_gqa(
+    out = _flash_core(
         qt,
         kt,
         vt,
-        causal=causal,
-        scale=scale,
-        block_q=min(DEFAULT_BLOCK_Q, max(128, 1 << (T - 1).bit_length())),
-        block_k=min(DEFAULT_BLOCK_K, max(128, 1 << (S - 1).bit_length())),
-        groups=Hq // Hkv,
+        causal,
+        scale,
+        min(DEFAULT_BLOCK_Q, max(128, 1 << (T - 1).bit_length())),
+        min(DEFAULT_BLOCK_K, max(128, 1 << (S - 1).bit_length())),
+        Hq // Hkv,
     )
     return out.transpose(0, 2, 1, 3)

@@ -48,10 +48,18 @@ def make_train_step(
     tx: optax.GradientTransformation,
     max_len: int = 4096,
     max_visual_len: int = 2048,
-    attn_impl: str = "xla",
+    attn_impl: Optional[str] = None,
     remat: bool = True,
 ) -> Callable:
-    """Returns step(params, opt_state, batch) -> (params, opt_state, loss)."""
+    """Returns step(params, opt_state, batch) -> (params, opt_state, loss).
+
+    attn_impl=None resolves to the platform default (Pallas flash kernel with
+    custom_vjp backward on TPU — the reference trains with flash-attn-2,
+    tdc/builder.py:71-72)."""
+    if attn_impl is None:
+        from ..models.attention import default_attn_impl
+
+        attn_impl = default_attn_impl()
 
     def step(params, opt_state, batch: Dict) -> Tuple[Params, Any, jnp.ndarray]:
         def loss_fn(p):

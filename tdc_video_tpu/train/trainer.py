@@ -83,6 +83,8 @@ class TrainConfig:
 
     group_by_modality_length: bool = True
     report_to: str = "jsonl"  # "jsonl" | "tensorboard" | "none"
+    # None -> platform default ("flash" on TPU, "xla" elsewhere)
+    attn_impl: Optional[str] = None
 
 
 def _path_names(path):
@@ -288,12 +290,18 @@ class Trainer:
             params["lm"] = lora_lib.apply_lora(
                 frozen_params["lm"], opt_params["lora"], self.tcfg.lora_alpha, self.tcfg.lora_r
             )
+        attn_impl = self.tcfg.attn_impl
+        if attn_impl is None:
+            from ..models.attention import default_attn_impl
+
+            attn_impl = default_attn_impl()
         return tdc_loss(
             self.cfg,
             params,
             batch,
             max_len=self.tcfg.model_max_length,
             max_visual_len=self.tcfg.max_visual_len,
+            attn_impl=attn_impl,
             remat=True,
         )
 

@@ -129,3 +129,63 @@ class TestCausalMaskGuard:
         m = jnp.asarray((np.tril(np.ones((T, T), bool)) & block)[None, None])
         with pytest.raises(ValueError):
             _check_causal_mask(m, T, T)
+
+
+class TestBackward:
+    """custom_vjp grad parity vs differentiating the XLA sdpa reference."""
+
+    def _grads(self, fn, q, k, v):
+        def loss(q, k, v):
+            o = fn(q, k, v)
+            # non-uniform cotangent so dq/dk/dv are all exercised
+            w = jnp.arange(o.size, dtype=o.dtype).reshape(o.shape) / o.size
+            return jnp.sum(o * w)
+
+        return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    @pytest.mark.parametrize(
+        "B,T,Hq,Hkv,D,causal",
+        [
+            (1, 128, 4, 2, 64, True),
+            (2, 200, 4, 4, 64, True),   # padding to block multiple
+            (1, 256, 8, 2, 128, True),  # GQA group 4
+            (1, 160, 4, 4, 64, False),  # non-causal full (ViT towers)
+        ],
+    )
+    def test_grad_parity(self, B, T, Hq, Hkv, D, causal):
+        rng = np.random.default_rng(7)
+        q = jnp.asarray(rng.normal(0, 1, (B, T, Hq, D)), jnp.float32)
+        k = jnp.asarray(rng.normal(0, 1, (B, T, Hkv, D)), jnp.float32)
+        v = jnp.asarray(rng.normal(0, 1, (B, T, Hkv, D)), jnp.float32)
+
+        def ref(q, k, v):
+            kr = jnp.repeat(k, Hq // Hkv, 2)
+            vr = jnp.repeat(v, Hq // Hkv, 2)
+            if causal:
+                m = jnp.tril(jnp.ones((T, T), bool))[None, None]
+                return sdpa(q, kr, vr, mask=m)
+            return sdpa(q, kr, vr)
+
+        dq, dk, dv = self._grads(
+            lambda q, k, v: fa.flash_attention(q, k, v, causal=causal), q, k, v
+        )
+        rq, rk, rv = self._grads(ref, q, k, v)
+        np.testing.assert_allclose(np.asarray(dq), np.asarray(rq), rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(dk), np.asarray(rk), rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), rtol=2e-3, atol=2e-3)
+
+    def test_padded_rows_zero_grad(self):
+        """Right-padded rows (do=0 there) contribute zero grad to k/v."""
+        rng = np.random.default_rng(8)
+        B, T, H, D, valid = 1, 128, 2, 64, 100
+        q = jnp.asarray(rng.normal(0, 1, (B, T, H, D)), jnp.float32)
+        k = jnp.asarray(rng.normal(0, 1, (B, T, H, D)), jnp.float32)
+        v = jnp.asarray(rng.normal(0, 1, (B, T, H, D)), jnp.float32)
+
+        def loss(q, k, v):
+            o = fa.flash_attention(q, k, v, causal=True)
+            keep = (jnp.arange(T) < valid)[None, :, None, None]
+            return jnp.sum(jnp.where(keep, o, 0.0) ** 2)
+
+        dq = jax.grad(loss, 0)(q, k, v)
+        assert np.abs(np.asarray(dq[:, valid:])).max() == 0.0
