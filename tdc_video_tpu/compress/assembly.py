@@ -61,6 +61,61 @@ def splice_visual_dynamic(
     return out, attn_mask, out_labels, seq_len
 
 
+def splice_visual_multi(
+    text_embeds: jnp.ndarray,  # [L, H]
+    image_pos: jnp.ndarray,  # [M] int32 positions of <image> slots, ascending; -1 = unused
+    visual: jnp.ndarray,  # [M, V_max, H] per-image visual tokens
+    n_visual: jnp.ndarray,  # [M] int32 valid tokens per image
+    max_len: int,
+    labels: Optional[jnp.ndarray] = None,  # [L] int32
+    text_len: Optional[jnp.ndarray] = None,  # scalar int32
+) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray]:
+    """Multiple <image> slots per sample (the reference's splice loop handles
+    any number, tdc/cambrian_arch.py:1457-1734; mm_datautils.py:579 splits on
+    every <image>).  Layout:
+
+        text[:p0] | vis0 | text[p0+1:p1] | vis1 | text[p1+1:...] ...
+
+    right-padded to max_len.  Pure gathers over a static M — one compile,
+    vmap-able.  Unused slots are image_pos=-1 with n_visual forced to 0.
+    """
+    L, H = text_embeds.shape
+    M, V, _ = visual.shape
+    tl = jnp.asarray(L, jnp.int32) if text_len is None else text_len.astype(jnp.int32)
+    valid = image_pos >= 0  # [M]
+    pos = jnp.where(valid, image_pos, L).astype(jnp.int32)
+    nv = jnp.where(valid, n_visual.astype(jnp.int32), 0)
+    # delta_m = tokens inserted minus the <image> slot consumed
+    delta = nv - valid.astype(jnp.int32)  # [M]
+    cum_before = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(delta)[:-1]])
+    vis_start = pos + cum_before  # [M] output offset of each visual block
+
+    j = jnp.arange(max_len, dtype=jnp.int32)  # [max_len]
+    in_vis_m = (j[:, None] >= vis_start[None]) & (
+        j[:, None] < (vis_start + nv)[None]
+    )  # [max_len, M]
+    in_vis = in_vis_m.any(-1)
+    which = jnp.argmax(in_vis_m, axis=-1)  # [max_len]
+    v_idx = jnp.clip(j - vis_start[which], 0, V - 1)
+    vis_src = visual[which, v_idx]  # [max_len, H]
+
+    # text index: undo insertions of every block that ends at or before j
+    passed = (j[:, None] >= (vis_start + nv)[None]).astype(jnp.int32)  # [max_len, M]
+    shift = (passed * delta[None]).sum(-1)
+    t_idx = jnp.clip(j - shift, 0, L - 1)
+    out = jnp.where(in_vis[:, None], vis_src, text_embeds[t_idx])
+
+    seq_len = jnp.minimum(tl + delta.sum(), max_len)
+    attn_mask = j < seq_len
+    out = jnp.where(attn_mask[:, None], out, 0)
+
+    out_labels = None
+    if labels is not None:
+        lab = jnp.where(in_vis, IGNORE_INDEX, labels[t_idx])
+        out_labels = jnp.where(attn_mask, lab, IGNORE_INDEX).astype(jnp.int32)
+    return out, attn_mask, out_labels, seq_len
+
+
 def splice_visual(
     text_embeds: jnp.ndarray,  # [L, H] embeddings of input_ids (image token slot included)
     image_pos: int,  # static index of the <image> token in input_ids

@@ -237,10 +237,12 @@ def pack_text(
     image_pos = np.zeros((B,), np.int32)
     text_len = np.zeros((B,), np.int32)
     has_image = np.zeros((B,), bool)
+    pos_lists = []
     for b, ids in enumerate(ids_list):
         ids = list(ids)[:max_len]
         arr = np.asarray(ids, np.int64)
         img = np.nonzero(arr == IMAGE_TOKEN_INDEX)[0]
+        pos_lists.append([int(i) for i in img])
         if len(img) > 0:
             has_image[b] = True
             image_pos[b] = int(img[0])
@@ -254,10 +256,17 @@ def pack_text(
             lab = list(labels_list[b])[:max_len]
             lab = [IGNORE_INDEX if t == IMAGE_TOKEN_INDEX else t for t in lab]
             out_labels[b, : len(lab)] = lab
+    # every <image> position per row, -1 padded (reference splices at each,
+    # tdc/cambrian_arch.py:1457-1734); consumed by splice_visual_multi
+    M = max(1, max(len(p) for p in pos_lists))
+    image_pos_multi = np.full((B, M), -1, np.int32)
+    for b, p in enumerate(pos_lists):
+        image_pos_multi[b, : len(p)] = p
     return {
         "input_ids": out_ids,
         "labels": out_labels if labels_list is not None else None,
         "image_pos": image_pos,
+        "image_pos_multi": image_pos_multi,
         "text_len": text_len,
         "has_image": has_image,
     }

@@ -375,6 +375,58 @@ def prepare_multimodal_from_features(
     }
 
 
+def prepare_multimodal_multi_image(
+    cfg: TDCConfig,
+    params: Params,
+    input_ids: jnp.ndarray,  # [B, L]
+    image_pos_multi: jnp.ndarray,  # [B, M] ascending <image> positions, -1 pad
+    siglip_px: jnp.ndarray,  # [B, M, Hs, Ws, 3] one image per slot
+    dino_px: jnp.ndarray,  # [B, M, Hd, Wd, 3]
+    labels: Optional[jnp.ndarray] = None,  # [B, L]
+    text_len: Optional[jnp.ndarray] = None,  # [B]
+    max_len: int = 4096,
+    attn_impl: str = "xla",
+) -> Dict[str, jnp.ndarray]:
+    """Stage-1-style conversations with MULTIPLE <image> tokens per sample
+    (the reference splice loop handles any count, cambrian_arch.py:1457-1734;
+    mm_datautils.py:579 splits on every <image>).  Each image contributes its
+    uncompressed SVA grid (+newline) tokens — no TDC compression, matching the
+    reference's image path (image_token_len, scripts/stage1)."""
+    from .compress.assembly import splice_visual_multi
+
+    B, M = image_pos_multi.shape
+    flat_sig = siglip_px.reshape((B * M,) + siglip_px.shape[2:])
+    flat_dino = dino_px.reshape((B * M,) + dino_px.shape[2:])
+    feats, _ = encode_frames(cfg, params, flat_sig, flat_dino, attn_impl=attn_impl)
+    P = feats.shape[1]
+    visual = feats.reshape(B, M, P, -1)
+
+    text_embeds = lm_mod.embed_tokens(cfg.lm, params["lm"], input_ids, cfg.dtype)
+    visual = visual.astype(text_embeds.dtype)
+    n_visual = jnp.full((B, M), P, jnp.int32)
+    if text_len is None:
+        text_len = jnp.full((B,), input_ids.shape[1], jnp.int32)
+
+    def splice(te, ipos, vis, nv, tl, lab):
+        return splice_visual_multi(te, ipos, vis, nv, max_len, labels=lab, text_len=tl)
+
+    if labels is None:
+        embeds, attn_mask, _, seq_len = jax.vmap(
+            lambda te, ipos, vis, nv, tl: splice(te, ipos, vis, nv, tl, None)
+        )(text_embeds, image_pos_multi, visual, n_visual, text_len)
+        out_labels = None
+    else:
+        embeds, attn_mask, out_labels, seq_len = jax.vmap(splice)(
+            text_embeds, image_pos_multi, visual, n_visual, text_len, labels
+        )
+    return {
+        "embeds": embeds,
+        "attn_mask": attn_mask,
+        "labels": out_labels,
+        "seq_len": seq_len,
+    }
+
+
 def tdc_loss(
     cfg: TDCConfig,
     params: Params,

@@ -194,3 +194,33 @@ class TestGenerate:
         )
         assert toks.shape == (2, 4)
         assert (np.asarray(toks) >= 0).all()
+
+
+class TestMultiImage:
+    def test_prepare_multi_image(self, setup):
+        """Two <image> slots per sample through the uncompressed stage-1 image
+        path (reference cambrian_arch.py:1457-1734 multi-image splice)."""
+        from tdc_video_tpu.model import prepare_multimodal_multi_image
+
+        cfg, params = setup
+        B, M, L = 2, 2, 24
+        rng = np.random.default_rng(5)
+        s, d = cfg.siglip.image_size, cfg.dino.image_size
+        out = prepare_multimodal_multi_image(
+            cfg,
+            params,
+            jnp.asarray(rng.integers(2, 100, (B, L)), jnp.int32),
+            jnp.asarray([[3, 9], [5, -1]], jnp.int32),  # row 1 has ONE image
+            jnp.asarray(rng.normal(0, 1, (B, M, s, s, 3)), jnp.float32),
+            jnp.asarray(rng.normal(0, 1, (B, M, d, d, 3)), jnp.float32),
+            labels=jnp.asarray(rng.integers(2, 100, (B, L)), jnp.int32),
+            max_len=128,
+        )
+        P = frame_token_len(cfg)
+        assert out["embeds"].shape == (B, 128, cfg.lm.hidden_size)
+        assert int(out["seq_len"][0]) == L + 2 * P - 2
+        assert int(out["seq_len"][1]) == L + P - 1
+        assert np.isfinite(np.asarray(out["embeds"])).all()
+        # visual positions carry IGNORE_INDEX labels
+        lab = np.asarray(out["labels"])
+        assert (lab[0, 3 : 3 + P] == IGNORE_INDEX).all()
