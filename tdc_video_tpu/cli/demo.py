@@ -26,6 +26,13 @@ def main(argv=None):
     ap.add_argument("--max_new_tokens", type=int, default=128)
     ap.add_argument("--max_frames", type=int, default=1000)
     ap.add_argument("--temperature", type=float, default=0.0)
+    ap.add_argument(
+        "--profile",
+        default=None,
+        metavar="LOGDIR",
+        help="capture a jax.profiler device trace of the inference into LOGDIR "
+        "(view in TensorBoard/Perfetto) and print per-stage wall times",
+    )
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -69,11 +76,24 @@ def main(argv=None):
         max_eval_frames=args.max_frames,
     )
     t1 = time.time()
-    answer = predictor.answer(
-        frames, args.question, wav=wav, frame_seconds=ts,
-        max_new_tokens=args.max_new_tokens,
-    )
+    import contextlib
+
+    from ..utils.profiling import trace
+
+    ctx = trace(args.profile) if args.profile else contextlib.nullcontext()
+    with ctx:
+        answer = predictor.answer(
+            frames, args.question, wav=wav, frame_seconds=ts,
+            max_new_tokens=args.max_new_tokens,
+            video_uid=args.video,
+        )
     print(f"\n{answer}\n\n[{time.time() - t1:.1f}s inference]")
+    if args.profile:
+        s = predictor.stats
+        print(
+            f"[profile] host-assembly {s.decode_s:.2f}s model {s.model_s:.2f}s "
+            f"trace -> {args.profile}"
+        )
 
 
 if __name__ == "__main__":

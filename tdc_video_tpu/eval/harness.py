@@ -259,18 +259,39 @@ def main(argv=None):
         action="store_true",
         help="pad/resize/normalize frames on-device (faster hosts-side; PIL parity path is the default)",
     )
+    ap.add_argument(
+        "--profile",
+        default=None,
+        metavar="LOGDIR",
+        help="capture a jax.profiler device trace of the run into LOGDIR and "
+        "print decode/model wall-time split",
+    )
     args = ap.parse_args(argv)
 
     predictor = build_predictor(args)
     samples = LOADERS[args.benchmark](args.data_path)
-    run_benchmark(
-        args.benchmark,
-        predictor,
-        samples,
-        out_dir=args.out_dir,
-        use_lvcot=args.use_lvcot,
-        limit=args.limit,
-    )
+    import contextlib
+
+    from ..utils.profiling import trace
+
+    ctx = trace(args.profile) if args.profile else contextlib.nullcontext()
+    with ctx:
+        run_benchmark(
+            args.benchmark,
+            predictor,
+            samples,
+            out_dir=args.out_dir,
+            use_lvcot=args.use_lvcot,
+            limit=args.limit,
+        )
+    if args.profile:
+        s = predictor.stats
+        print(
+            f"[profile] {s.samples} samples: host-assembly {s.decode_s:.2f}s "
+            f"model {s.model_s:.2f}s compiles {len(s.compile_keys)} "
+            f"trace -> {args.profile}",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

@@ -15,6 +15,7 @@ FLAGS = [
     "-shared",
     "-std=c++17",
     "-Wall",
+    "-pthread",
 ]
 LIBS = ["-lavformat", "-lavcodec", "-lswscale", "-lswresample", "-lavutil"]
 

@@ -48,6 +48,19 @@ def _load():
         ctypes.POINTER(ctypes.c_double),
     ]
     lib.tdc_decode_video.restype = ctypes.c_int
+    lib.tdc_decode_video_mt.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_double,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.tdc_decode_video_mt.restype = ctypes.c_int
     lib.tdc_decode_audio.argtypes = [
         ctypes.c_char_p,
         ctypes.c_int,
@@ -55,6 +68,14 @@ def _load():
         ctypes.POINTER(ctypes.c_float),
     ]
     lib.tdc_decode_audio.restype = ctypes.c_long
+    lib.tdc_encode_test_video.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_double,
+        ctypes.c_int,
+    ]
+    lib.tdc_encode_test_video.restype = ctypes.c_int
     _lib = lib
     return lib
 
@@ -83,10 +104,20 @@ def decode_video(
     fps: float = 1.0,
     max_dim: int = 384,
     max_frames: int = 1000,
+    threads: Optional[int] = None,
+    fast: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (frames uint8 [N, H, W, 3], timestamps float64 [N]) sampled at
     `fps`, longer side scaled to max_dim (pad-to-square happens in
-    data/images.py)."""
+    data/images.py).
+
+    threads > 1 runs the segment-parallel seek decoder (one worker per time
+    slice — replaces decord's threaded decode, reference train.py:588-594);
+    default from $TDC_DECODE_THREADS, else the host CPU count.  `fast`
+    (or $TDC_DECODE_FAST=1) skips the codec loop filter — a decode speedup
+    with sub-visual pixel drift, off by default for reference parity.
+    Falls back to the sequential decoder when the container cannot be
+    time-sliced (no duration / no timestamps)."""
     if not os.path.exists(path):
         raise FileNotFoundError(path)
     lib = _load()
@@ -95,16 +126,37 @@ def decode_video(
     # worst case: every row max_dim x max_dim
     buf = np.empty((max_frames, max_dim, max_dim, 3), np.uint8)
     ts = np.empty((max_frames,), np.float64)
-    n = lib.tdc_decode_video(
-        path.encode(),
-        float(fps),
-        int(max_dim),
-        int(max_frames),
-        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        ow,
-        oh,
-        ts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-    )
+
+    if threads is None:
+        threads = int(os.environ.get("TDC_DECODE_THREADS", os.cpu_count() or 1))
+    fast = fast or os.environ.get("TDC_DECODE_FAST", "") == "1"
+    flags = 1 if fast else 0
+
+    n = -1
+    if threads > 1 or flags:
+        n = lib.tdc_decode_video_mt(
+            path.encode(),
+            float(fps),
+            int(max_dim),
+            int(max_frames),
+            int(threads),
+            flags,
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ow,
+            oh,
+            ts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+    if n < 0:  # single-thread path, or mt fallback (rc -7/-8: unsliceable)
+        n = lib.tdc_decode_video(
+            path.encode(),
+            float(fps),
+            int(max_dim),
+            int(max_frames),
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ow,
+            oh,
+            ts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
     if n < 0:
         raise IOError(f"decode failed for {path} (rc={n})")
     w, h = ow.value, oh.value
@@ -131,6 +183,16 @@ def load_audio(
     if n == 0:
         return None
     return buf[:n].copy()
+
+
+def encode_test_video(path: str, w: int = 160, h: int = 120, fps: float = 25.0, n_frames: int = 100) -> None:
+    """Synthesize a real, seekable MPEG-4 fixture video (frame k is flat
+    RGB(k%256, 3k%256, 64)) — test/bench infrastructure; this environment has
+    no ffmpeg binary and GIFs cannot exercise the seek path."""
+    lib = _load()
+    rc = lib.tdc_encode_test_video(path.encode(), int(w), int(h), float(fps), int(n_frames))
+    if rc != 0:
+        raise IOError(f"test-video encode failed (rc={rc})")
 
 
 def window_audio(wav: np.ndarray, window_seconds: int = 10, rate: int = AUDIO_SAMPLE_RATE):

@@ -34,6 +34,12 @@ def main(argv=None):
     ap.add_argument("--coordinator", default=None, help="jax.distributed coordinator addr")
     ap.add_argument("--num_processes", type=int, default=None)
     ap.add_argument("--process_id", type=int, default=None)
+    ap.add_argument(
+        "--profile",
+        default=None,
+        metavar="LOGDIR",
+        help="capture a jax.profiler device trace of the training run into LOGDIR",
+    )
     args = ap.parse_args(argv)
 
     if args.coordinator:
@@ -103,7 +109,13 @@ def main(argv=None):
         group_by_modality_length=tcfg.group_by_modality_length,
         start_step=start_step,
     )
-    trainer.fit(batches)
+    if args.profile:
+        from ..utils.profiling import trace
+
+        with trace(args.profile):
+            trainer.fit(batches)
+    else:
+        trainer.fit(batches)
 
     # Final artifact in the reference layout (LoRA baked in), next to the
     # Orbax train state — the save_pretrained step of the reference

@@ -100,3 +100,59 @@ class TestAudio:
         windows, mask = window_audio(wav)
         assert windows.shape == (2, 160000)
         assert mask[0].all() and mask[1].sum() == 3 * 16000
+
+
+class TestSegmentParallelDecode:
+    """Segment-parallel seek decode (tdc_decode_video_mt) vs the sequential
+    decoder on a real seekable MPEG-4 fixture (encode_test_video — frame k is
+    flat RGB(k%256, 3k%256, 64), so content identifies the source frame)."""
+
+    @pytest.fixture(scope="class")
+    def mp4_path(self, tmp_path_factory):
+        from tdc_video_tpu.media.io import encode_test_video
+
+        p = str(tmp_path_factory.mktemp("mt") / "fixture.mp4")
+        encode_test_video(p, 160, 120, fps=25.0, n_frames=250)  # 10 s
+        return p
+
+    def test_mt_matches_sequential(self, mp4_path):
+        from tdc_video_tpu.media.io import decode_video
+
+        f1, t1 = decode_video(mp4_path, fps=1.0, threads=1)
+        f4, t4 = decode_video(mp4_path, fps=1.0, threads=4)
+        assert f1.shape == f4.shape
+        np.testing.assert_allclose(t1, t4)
+        # lossy codec: compare mean per-frame pixel difference, not bits
+        for a, b in zip(f1, f4):
+            assert np.abs(a.astype(int) - b.astype(int)).mean() < 3.0
+
+    def test_frame_identity(self, mp4_path):
+        """Source R channel is k%256 (k=0..225 over 10 s): decoded per-second
+        means must be strictly increasing — workers did not scramble order.
+        (Absolute values shift with the codec's limited-range YUV transform.)"""
+        from tdc_video_tpu.media.io import decode_video
+
+        f, t = decode_video(mp4_path, fps=1.0, threads=4)
+        means = [float(fr[:, :, 0].mean()) for fr in f]
+        assert all(b > a for a, b in zip(means, means[1:])), means
+
+    def test_fast_flag(self, mp4_path):
+        from tdc_video_tpu.media.io import decode_video
+
+        f, t = decode_video(mp4_path, fps=1.0, threads=1, fast=True)
+        f0, _ = decode_video(mp4_path, fps=1.0, threads=1)
+        assert f.shape == f0.shape
+        assert np.abs(f.astype(int) - f0.astype(int)).mean() < 3.0
+
+    def test_gif_falls_back(self, tmp_path):
+        """GIF has no reliable duration: mt path returns a fallback rc and the
+        wrapper silently uses the sequential decoder."""
+        from PIL import Image
+
+        from tdc_video_tpu.media.io import decode_video
+
+        p = str(tmp_path / "v.gif")
+        ims = [Image.new("RGB", (64, 48), (i * 40, 10, 10)) for i in range(5)]
+        ims[0].save(p, save_all=True, append_images=ims[1:], duration=400, loop=0)
+        f, t = decode_video(p, fps=1.0, threads=4)
+        assert len(f) >= 1
