@@ -61,6 +61,19 @@ def _load():
         ctypes.POINTER(ctypes.c_double),
     ]
     lib.tdc_decode_video_mt.restype = ctypes.c_int
+    lib.tdc_decode_video_range.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_double,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.tdc_decode_video_range.restype = ctypes.c_int
     lib.tdc_decode_audio.argtypes = [
         ctypes.c_char_p,
         ctypes.c_int,
@@ -183,6 +196,46 @@ def load_audio(
     if n == 0:
         return None
     return buf[:n].copy()
+
+
+def decode_video_range(
+    path: str,
+    k0: int,
+    k1: int,
+    fps: float = 1.0,
+    max_dim: int = 384,
+    fast: bool = False,
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Decode only sample targets [k0, k1) at `fps` (streaming chunk decode).
+    Returns None when the container cannot be time-sliced (caller falls back
+    to full-clip decode)."""
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
+    lib = _load()
+    ow = ctypes.c_int()
+    oh = ctypes.c_int()
+    n_range = max(0, k1 - k0)
+    buf = np.empty((n_range, max_dim, max_dim, 3), np.uint8)
+    ts = np.empty((max(1, n_range),), np.float64)
+    n = lib.tdc_decode_video_range(
+        path.encode(),
+        float(fps),
+        int(max_dim),
+        int(k0),
+        int(k1),
+        1 if fast else 0,
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ow,
+        oh,
+        ts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    if n in (-7, -8):
+        return None
+    if n < 0:
+        raise IOError(f"range decode failed for {path} (rc={n})")
+    w, h = ow.value, oh.value
+    flat = buf.reshape(-1)[: n * h * w * 3]
+    return flat.reshape(n, h, w, 3).copy(), ts[:n].copy()
 
 
 def encode_test_video(path: str, w: int = 160, h: int = 120, fps: float = 25.0, n_frames: int = 100) -> None:

@@ -190,10 +190,11 @@ struct RangeJob {
   double fps = 1.0;
   int ow = 0, oh = 0, src_w = 0, src_h = 0;
   int k0 = 0, k1 = 0;
+  int base = 0;  // output slot of target k is (k - base)
   int fast_flags = 0;
-  uint8_t* out = nullptr;       // [max_frames, oh, ow, 3]
-  double* timestamps = nullptr; // [max_frames]
-  uint8_t* filled = nullptr;    // [max_frames]
+  uint8_t* out = nullptr;       // [*, oh, ow, 3]
+  double* timestamps = nullptr;
+  uint8_t* filled = nullptr;
   int rc = 0;
 };
 
@@ -255,11 +256,11 @@ void decode_range(RangeJob* job) {
       double t = pts * tb;
       if (t + 1e-9 >= target) {  // one target per frame (matches the
                                  // sequential sampler's semantics)
-        uint8_t* dst[1] = {job->out + (size_t)k * frame_bytes};
+        uint8_t* dst[1] = {job->out + (size_t)(k - job->base) * frame_bytes};
         int dst_ls[1] = {job->ow * 3};
         sws_scale(sws, frame->data, frame->linesize, 0, m.dec->height, dst, dst_ls);
-        if (job->timestamps) job->timestamps[k] = t;
-        job->filled[k] = 1;
+        if (job->timestamps) job->timestamps[k - job->base] = t;
+        job->filled[k - job->base] = 1;
         k++;
         target = k * step;
       }
@@ -347,6 +348,67 @@ int tdc_decode_video_mt(const char* path, double fps, int max_dim,
       std::memmove(out + (size_t)n * frame_bytes, out + (size_t)k * frame_bytes,
                    frame_bytes);
       if (timestamps) timestamps[n] = timestamps[k];
+    }
+    n++;
+  }
+  return n;
+}
+
+// Decode only sample targets [k0, k1) (streaming: chunk t+1 decodes while
+// chunk t encodes on-device — serving/streaming.py).  Same fallback rcs as
+// the mt entry (-7 untimestamped, -8 unknown duration).  Returns frames
+// written (compacted at the front of `out`).
+int tdc_decode_video_range(const char* path, double fps, int max_dim, int k0,
+                           int k1, int fast_flags, uint8_t* out, int* out_w,
+                           int* out_h, double* timestamps) {
+  Media m;
+  if (open_media(path, AVMEDIA_TYPE_VIDEO, &m) != 0) {
+    close_media(&m);
+    return -1;
+  }
+  int w = m.dec->width, h = m.dec->height;
+  double dur = m.fmt->duration > 0 ? m.fmt->duration / (double)AV_TIME_BASE : 0.0;
+  close_media(&m);
+  if (w <= 0 || h <= 0) return -2;
+  if (dur <= 0.0 && k0 > 0) return -8;
+
+  int ow, oh;
+  if (w >= h) {
+    ow = max_dim;
+    oh = std::max(2, (int)((int64_t)h * max_dim / w) & ~1);
+  } else {
+    oh = max_dim;
+    ow = std::max(2, (int)((int64_t)w * max_dim / h) & ~1);
+  }
+  *out_w = ow;
+  *out_h = oh;
+
+  int n_range = k1 - k0;
+  if (n_range <= 0) return 0;
+  std::vector<uint8_t> filled(n_range, 0);
+  RangeJob job;
+  job.path = path;
+  job.fps = fps;
+  job.ow = ow;
+  job.oh = oh;
+  job.k0 = k0;
+  job.k1 = k1;
+  job.base = k0;
+  job.fast_flags = fast_flags;
+  job.out = out;
+  job.timestamps = timestamps;
+  job.filled = filled.data();
+  decode_range(&job);
+  if (job.rc == -7) return -7;
+
+  const size_t frame_bytes = (size_t)ow * oh * 3;
+  int n = 0;
+  for (int i = 0; i < n_range; i++) {
+    if (!filled[i]) continue;
+    if (n != i) {
+      std::memmove(out + (size_t)n * frame_bytes, out + (size_t)i * frame_bytes,
+                   frame_bytes);
+      if (timestamps) timestamps[n] = timestamps[i];
     }
     n++;
   }

@@ -52,6 +52,26 @@ class StreamStats:
         }
 
 
+def _emit_chunk(out_q, chunk, ts, chunk_frames, cfg, stats, device_prep):
+    n = len(chunk)
+    if device_prep:
+        if n < chunk_frames:
+            pad = chunk_frames - n
+            chunk = np.concatenate(
+                [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)]
+            )
+        out_q.put((chunk, None, n, ts[:n]))
+        return
+    t1 = time.perf_counter()
+    sig, dino = process_frames(list(chunk), cfg)
+    stats.preprocess_s += time.perf_counter() - t1
+    if n < chunk_frames:
+        pad = chunk_frames - n
+        sig = np.concatenate([sig, np.zeros((pad,) + sig.shape[1:], sig.dtype)])
+        dino = np.concatenate([dino, np.zeros((pad,) + dino.shape[1:], dino.dtype)])
+    out_q.put((sig, dino, n, ts[:n]))
+
+
 def _decode_chunks(
     video_path: str,
     fps: float,
@@ -64,35 +84,39 @@ def _decode_chunks(
 ):
     """Producer thread: native decode -> (host preprocess | raw uint8) -> queue.
 
-    Decodes the full clip once (the C++ layer is sequential-scan based), then
-    streams chunks; with device_prep the host ships raw uint8 frames and
-    pad/resize/normalize rides the TPU next to the towers.
+    Seekable containers decode chunk-by-chunk (media.io.decode_video_range),
+    so decoding chunk t+1 truly overlaps the device encode of chunk t; GIFs
+    and other unsliceable containers fall back to one full decode up front.
     """
-    from ..media.io import decode_video
+    from ..media.io import decode_video, decode_video_range
 
     try:
-        t0 = time.perf_counter()
-        frames, ts = decode_video(video_path, fps=fps, max_frames=max_frames)
-        stats.decode_s += time.perf_counter() - t0
-        for start in range(0, len(frames), chunk_frames):
-            chunk = frames[start : start + chunk_frames]
-            n = len(chunk)
-            if device_prep:
-                if n < chunk_frames:
-                    pad = chunk_frames - n
-                    chunk = np.concatenate(
-                        [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)]
+        k0 = 0
+        while k0 < max_frames:
+            k1 = min(k0 + chunk_frames, max_frames)
+            t0 = time.perf_counter()
+            out = decode_video_range(video_path, k0, k1, fps=fps)
+            stats.decode_s += time.perf_counter() - t0
+            if out is None:  # unsliceable: one-shot full decode (old path)
+                if k0 != 0:
+                    break
+                t0 = time.perf_counter()
+                frames, ts = decode_video(video_path, fps=fps, max_frames=max_frames)
+                stats.decode_s += time.perf_counter() - t0
+                for start in range(0, len(frames), chunk_frames):
+                    _emit_chunk(
+                        out_q, frames[start : start + chunk_frames],
+                        ts[start : start + chunk_frames], chunk_frames, cfg,
+                        stats, device_prep,
                     )
-                out_q.put((chunk, None, n, ts[start : start + n]))
-                continue
-            t1 = time.perf_counter()
-            sig, dino = process_frames(list(chunk), cfg)
-            stats.preprocess_s += time.perf_counter() - t1
-            if n < chunk_frames:
-                pad = chunk_frames - n
-                sig = np.concatenate([sig, np.zeros((pad,) + sig.shape[1:], sig.dtype)])
-                dino = np.concatenate([dino, np.zeros((pad,) + dino.shape[1:], dino.dtype)])
-            out_q.put((sig, dino, n, ts[start : start + n]))
+                break
+            chunk, ts = out
+            if len(chunk) == 0:
+                break
+            _emit_chunk(out_q, chunk, ts, chunk_frames, cfg, stats, device_prep)
+            if len(chunk) < k1 - k0:  # EOF inside this chunk
+                break
+            k0 = k1
         out_q.put(None)
     except Exception as e:  # pragma: no cover
         out_q.put(e)
