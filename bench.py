@@ -44,7 +44,7 @@ def main():
     on_tpu = dev.platform == "tpu"
     cfg = C.tdc_qwen2_7b()
     cfg = dataclasses.replace(cfg, param_dtype=jnp.bfloat16)
-    T = 64 if on_tpu else 4  # frames per step (= video seconds at 1 fps)
+    T = 128 if on_tpu else 4  # frames per step (= video seconds at 1 fps)
     iters = 5 if on_tpu else 1
     if not on_tpu:
         cfg = C.tdc_tiny()
