@@ -362,6 +362,11 @@ class TDCConfig:
     # dtype policy: params kept in param_dtype, compute in dtype, reductions f32.
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    # Q-Former compression compute dtype.  bf16 matches the reference's fp16
+    # compressor (tdc/builder.py:69) with f32 normalization/reductions kept
+    # (cambrian_arch.py:1664-1667); measured drift vs f32 on oracle fixtures:
+    # max rel 0.17%, min token cosine 0.9998 (PERF.md round 2).
+    compress_dtype: Any = jnp.bfloat16
 
     def with_audio(self) -> "TDCConfig":
         return _replace(

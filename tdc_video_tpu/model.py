@@ -201,7 +201,7 @@ def prepare_visual(
         qformer_text_mask,
         audio_feats=audio_tokens,
         max_visual_len=max_visual_len,
-        dtype=jnp.float32,
+        dtype=cfg.compress_dtype,
         token_valid=token_valid,
         query_pool=query_pool,
     )

@@ -369,3 +369,44 @@ def test_single_frame_image_qa():
     )
     assert int(n) == P + 1  # static + sep
     np.testing.assert_allclose(np.asarray(visual[:P]), np.asarray(feats[0]), rtol=1e-6)
+
+
+def test_bf16_compression_drift_bound():
+    """bf16 Q-Former compression (the adopted default, config.compress_dtype)
+    stays within tight drift of the f32 path — normalization/reductions are
+    f32 either way (reference fp16 compressor, tdc/builder.py:69)."""
+    import jax
+
+    from tdc_video_tpu.config import tdc_tiny
+    from tdc_video_tpu.model import init_tdc
+    from tdc_video_tpu.compress.tdc import compress_video
+    from tdc_video_tpu.ops.segment import segment_boundaries
+
+    cfg = tdc_tiny()
+    params = init_tdc(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    T = 12
+    P = cfg.sva.image_token_len + cfg.sva.final_side_len
+    ff = jnp.asarray(rng.normal(0, 1, (T, P, cfg.lm.hidden_size)), jnp.float32)
+    df = jnp.asarray(rng.normal(0, 1, (T, 16, cfg.dino.hidden_size)), jnp.float32)
+    fm = jnp.ones((T,), bool)
+    b = segment_boundaries(df, fm, cfg.compression.max_num_segments)
+    tid = jnp.asarray(rng.integers(1, 50, (6,)), jnp.int32)
+    tm = jnp.ones((6,), bool)
+    v32, n32 = compress_video(
+        cfg, params["compressor"], ff, fm, b, tid, tm, max_visual_len=512,
+        dtype=jnp.float32,
+    )
+    v16, n16 = compress_video(
+        cfg, params["compressor"], ff, fm, b, tid, tm, max_visual_len=512,
+        dtype=jnp.bfloat16,
+    )
+    assert int(n32) == int(n16)
+    a = np.asarray(v32)[: int(n32)]
+    c = np.asarray(v16, np.float32)[: int(n32)]
+    rel = np.abs(a - c).max() / np.abs(a).max()
+    assert rel < 0.01, rel
+    cos = (a * c).sum(-1) / (
+        np.linalg.norm(a, axis=-1) * np.linalg.norm(c, axis=-1) + 1e-9
+    )
+    assert cos.min() > 0.995, cos.min()
