@@ -331,15 +331,22 @@ def decode_step(
     cache: Dict,
     attn_impl: str = "xla",
     dtype=jnp.bfloat16,
+    active: Optional[jnp.ndarray] = None,  # [B] bool; inactive slots frozen
 ) -> Tuple[jnp.ndarray, Dict]:
-    """One autoregressive step; writes at per-sample `lengths`, returns logits [B, V]."""
+    """One autoregressive step; writes at per-sample `lengths`, returns logits [B, V].
+
+    `active` enables continuous batching (serving/batching.py): inactive
+    slots still flow through the batched matmuls (their K/V write lands on
+    the slot's next unused, still-masked cache position — harmless), but
+    their attention mask and lengths are left untouched, so a slot can sit
+    idle or be re-admitted mid-loop without a separate compile."""
     B = token_embeds.shape[0]
     S = cache["k"].shape[2]
     lengths = cache["lengths"]
     positions = lengths[:, None]
-    write_pos = lengths[:, None]
-    new_mask = cache["mask"].at[jnp.arange(B), lengths].set(True)
-    attn_mask = new_mask[:, None, None, :]  # [B,1,1,S]
+    write_pos = jnp.minimum(lengths, S - 1)[:, None]
+    step_mask = cache["mask"].at[jnp.arange(B), jnp.minimum(lengths, S - 1)].set(True)
+    attn_mask = step_mask[:, None, None, :]  # [B,1,1,S]
     hidden, cache = lm_backbone(
         cfg,
         params,
@@ -351,6 +358,10 @@ def decode_step(
         attn_impl=attn_impl,
         dtype=dtype,
     )
-    cache["mask"] = new_mask
-    cache["lengths"] = lengths + 1
+    if active is None:
+        cache["mask"] = step_mask
+        cache["lengths"] = lengths + 1
+    else:
+        cache["mask"] = jnp.where(active[:, None], step_mask, cache["mask"])
+        cache["lengths"] = lengths + active.astype(lengths.dtype)
     return lm_head(cfg, params, hidden)[:, 0], cache

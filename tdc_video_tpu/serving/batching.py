@@ -1,0 +1,189 @@
+"""Continuous batching: an admission queue over one shared decode loop.
+
+Capability upgrade over the reference's one-request `generate`
+(tdc/cambrian_qwen.py:441-457, which stashes vision state on `self` and can
+only serve a single conversation at a time): here a fixed pool of KV-cache
+slots decodes in lockstep — a single jitted masked decode step over all
+slots — while new requests are admitted into free slots between decode
+chunks, so a long generation never blocks a short one behind it.
+
+TPU design notes:
+* one cache of shape [layers, num_slots, capacity, heads, dim]; admission is
+  a `lax.dynamic_update_slice` of a batch-1 prefilled cache into the slot
+  axis — no recompile, no reshuffling of live slots;
+* the decode loop runs in chunks of `chunk_tokens` inside one
+  `lax.while_loop` compile; the host only re-enters between chunks to admit
+  or harvest, amortizing dispatch latency;
+* inactive slots ride through the batched matmuls masked (models/lm.py
+  decode_step(active=...)) — idle slots cost FLOPs but no correctness or
+  compile-count complexity, the right trade at small slot counts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TDCConfig
+from ..models import lm as lm_mod
+
+Params = Any
+
+
+@dataclass
+class Request:
+    """One decode request: an already-embedded prompt (text-only or the
+    packed multimodal prefix from prepare_multimodal_inputs)."""
+
+    embeds: jnp.ndarray  # [1, L, H] right-padded
+    attn_mask: jnp.ndarray  # [1, L] bool
+    max_new_tokens: int = 64
+    uid: Any = None
+    # filled by the engine
+    tokens: List[int] = field(default_factory=list)
+    done: bool = False
+
+
+def _insert_cache(shared: Dict, one: Dict, slot: int) -> Dict:
+    """Scatter a batch-1 prefilled cache into `slot` of the shared cache."""
+    L, _, S1 = one["k"].shape[:3]
+    S = shared["k"].shape[2]
+    pad = S - S1
+    k = jnp.pad(one["k"], ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
+    v = jnp.pad(one["v"], ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
+    m = jnp.pad(one["mask"], ((0, 0), (0, pad)))
+    out = dict(shared)
+    out["k"] = jax.lax.dynamic_update_slice(shared["k"], k, (0, slot, 0, 0, 0))
+    out["v"] = jax.lax.dynamic_update_slice(shared["v"], v, (0, slot, 0, 0, 0))
+    out["mask"] = jax.lax.dynamic_update_slice(shared["mask"], m, (slot, 0))
+    out["lengths"] = shared["lengths"].at[slot].set(one["lengths"][0])
+    return out
+
+
+class DecodeEngine:
+    """Fixed-slot continuous-batching decoder."""
+
+    def __init__(
+        self,
+        cfg: TDCConfig,
+        params: Params,
+        num_slots: int = 4,
+        capacity: int = 1024,
+        chunk_tokens: int = 16,
+        attn_impl: str = "xla",
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.num_slots = num_slots
+        self.capacity = capacity
+        self.chunk_tokens = chunk_tokens
+        self.attn_impl = attn_impl
+
+        self.cache = lm_mod.init_kv_cache(cfg.lm, num_slots, capacity, cfg.dtype)
+        self._requests: List[Optional[Request]] = [None] * num_slots
+        self._budget = np.zeros(num_slots, np.int32)  # tokens remaining
+        self._last_tok = jnp.zeros((num_slots,), jnp.int32)
+        self._active = jnp.zeros((num_slots,), jnp.bool_)
+        self._queue: List[Request] = []
+        self._finished: List[Request] = []
+        self.steps = 0  # jitted chunk invocations (for tests/telemetry)
+
+        self._jprefill = jax.jit(self._prefill_one, static_argnums=(3,))
+        self._jchunk = jax.jit(self._decode_chunk)
+
+    # -- jitted kernels -----------------------------------------------------
+
+    def _prefill_one(self, params, embeds, attn_mask, L):
+        cache1 = lm_mod.init_kv_cache(self.cfg.lm, 1, L, self.cfg.dtype)
+        logits, cache1 = lm_mod.prefill(
+            self.cfg.lm, params["lm"], embeds, attn_mask, cache1,
+            attn_impl=self.attn_impl, dtype=self.cfg.dtype,
+        )
+        return jnp.argmax(logits, -1).astype(jnp.int32), cache1
+
+    def _decode_chunk(self, params, cache, tok, active, budget):
+        eos = jnp.asarray(self.cfg.lm.eos_token_ids, jnp.int32)
+
+        def body(carry, _):
+            cache, tok, active, budget = carry
+            embeds = lm_mod.embed_tokens(self.cfg.lm, params["lm"], tok[:, None], self.cfg.dtype)
+            logits, cache = lm_mod.decode_step(
+                self.cfg.lm, params["lm"], embeds, cache,
+                attn_impl=self.attn_impl, dtype=self.cfg.dtype, active=active,
+            )
+            nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+            nxt = jnp.where(active, nxt, self.cfg.lm.pad_token_id)
+            budget = budget - active.astype(budget.dtype)
+            hit_eos = jnp.any(nxt[:, None] == eos[None, :], axis=-1)
+            active = active & ~hit_eos & (budget > 0)
+            tok = jnp.where(active | hit_eos, nxt, tok)
+            return (cache, tok, active, budget), nxt
+
+        (cache, tok, active, budget), toks = jax.lax.scan(
+            body, (cache, tok, active, budget), None, length=self.chunk_tokens
+        )
+        return cache, tok, active, budget, toks.T  # [slots, chunk]
+
+    # -- host-side engine ---------------------------------------------------
+
+    def submit(self, req: Request):
+        self._queue.append(req)
+
+    def _admit(self):
+        for slot in range(self.num_slots):
+            if not self._queue:
+                return
+            if self._requests[slot] is not None or bool(self._active[slot]):
+                continue
+            req = self._queue.pop(0)
+            L = req.embeds.shape[1]
+            if L > self.capacity:
+                raise ValueError(f"prompt length {L} exceeds capacity {self.capacity}")
+            first, cache1 = self._jprefill(self.params, req.embeds, req.attn_mask, L)
+            self.cache = _insert_cache(self.cache, cache1, slot)
+            first_i = int(first[0])
+            req.tokens.append(first_i)
+            if first_i in self.cfg.lm.eos_token_ids or req.max_new_tokens <= 1:
+                req.done = True
+                self._finished.append(req)
+                continue
+            self._requests[slot] = req
+            self._budget[slot] = req.max_new_tokens - 1
+            self._last_tok = self._last_tok.at[slot].set(first_i)
+            self._active = self._active.at[slot].set(True)
+
+    def _harvest(self, toks: np.ndarray, budget_before: np.ndarray):
+        for slot in range(self.num_slots):
+            req = self._requests[slot]
+            if req is None:
+                continue
+            n = int(budget_before[slot] - self._budget[slot])  # active steps taken
+            req.tokens.extend(int(t) for t in toks[slot][:n])
+            if not bool(self._active[slot]):
+                req.done = True
+                self._finished.append(req)
+                self._requests[slot] = None
+
+    def run(self) -> List[Request]:
+        """Drain the queue + all slots; returns completed requests in finish
+        order."""
+        while self._queue or any(r is not None for r in self._requests):
+            self._admit()
+            if not bool(jnp.any(self._active)):
+                break
+            budget_before = self._budget.copy()
+            self.cache, self._last_tok, self._active, budget, toks = self._jchunk(
+                self.params, self.cache, self._last_tok, self._active,
+                jnp.asarray(self._budget),
+            )
+            self._budget = np.array(budget)
+            self.steps += 1
+            self._harvest(np.asarray(toks), budget_before)
+        out, self._finished = self._finished, []
+        return out
