@@ -175,9 +175,14 @@ def load_pretrained_model(
     model_name: Optional[str] = None,
     dtype=None,
     load_tokenizer: bool = True,
+    quantize: Optional[str] = None,  # "int8": weight-only int8 LM (serving)
 ) -> Tuple[Any, TDCModel, list, int]:
     """Reference-compatible loader signature (tdc/builder.py:40-51): returns
-    (tokenizer, model, image_preprocess_list, context_len)."""
+    (tokenizer, model, image_preprocess_list, context_len).
+
+    quantize="int8" replaces the reference's CUDA-only bitsandbytes 4/8-bit
+    options (tdc/builder.py:58-67) with TPU-native weight-only int8 on the
+    LM (models/quant.py) — ~2x the decode roofline."""
     import jax.numpy as jnp
 
     model_name = model_name or os.path.basename(model_path)
@@ -216,6 +221,13 @@ def load_pretrained_model(
         ),
         params,
     )
+
+    if quantize == "int8":
+        from .models.quant import quantize_lm_int8
+
+        params["lm"] = quantize_lm_int8(params["lm"])
+    elif quantize not in (None, "none"):
+        raise ValueError(f"unknown quantize mode {quantize!r}")
 
     tokenizer = None
     if load_tokenizer:

@@ -27,6 +27,11 @@ def main(argv=None):
     ap.add_argument("--max_frames", type=int, default=1000)
     ap.add_argument("--temperature", type=float, default=0.0)
     ap.add_argument(
+        "--quantize", default=None, choices=["int8"],
+        help="weight-only int8 LM (TPU-native replacement for the reference's "
+        "bnb 4/8-bit loading; ~2x decode throughput)",
+    )
+    ap.add_argument(
         "--profile",
         default=None,
         metavar="LOGDIR",
@@ -43,7 +48,8 @@ def main(argv=None):
 
     t0 = time.time()
     tokenizer, model, _, _ = load_pretrained_model(
-        args.model_path, args.model_base, args.model_name, dtype=jnp.bfloat16
+        args.model_path, args.model_base, args.model_name, dtype=jnp.bfloat16,
+        quantize=args.quantize,
     )
     bert_tok = None
     if args.bert_tokenizer:

@@ -223,7 +223,8 @@ def build_predictor(args) -> TDCPredictor:
     from ..builder import load_pretrained_model
 
     tokenizer, model, _, _ = load_pretrained_model(
-        args.model_path, args.model_base, args.model_name, dtype=jnp.bfloat16
+        args.model_path, args.model_base, args.model_name, dtype=jnp.bfloat16,
+        quantize=getattr(args, "quantize", None),
     )
     bert_tok = None
     if args.bert_tokenizer:
@@ -265,6 +266,10 @@ def main(argv=None):
         metavar="LOGDIR",
         help="capture a jax.profiler device trace of the run into LOGDIR and "
         "print decode/model wall-time split",
+    )
+    ap.add_argument(
+        "--quantize", default=None, choices=["int8"],
+        help="weight-only int8 LM for faster decode",
     )
     args = ap.parse_args(argv)
 

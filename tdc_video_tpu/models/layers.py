@@ -49,9 +49,20 @@ def init_linear(key, d_in, d_out, dtype, bias=True, stddev=None):
 def linear(p: Params, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
     """Matmul in the activation dtype: params stored in param_dtype (often
     f32) are cast down so bf16 activations stay bf16 on the MXU instead of
-    silently promoting the whole network to f32."""
+    silently promoting the whole network to f32.
+
+    Weight-only int8 (models/quant.py) dispatches on the "w_q" key: the int8
+    weight is converted in-register (XLA fuses the convert into the dot's
+    operand load — HBM streams int8 bytes) and the per-output-channel scale
+    is applied to the product."""
     if dtype is not None:
         x = x.astype(dtype)
+    if "w_q" in p:
+        y = x @ p["w_q"].astype(x.dtype)
+        y = y * p["w_scale"].astype(y.dtype)
+        if "b" in p:
+            y = y + p["b"].astype(y.dtype)
+        return y
     w = p["w"].astype(x.dtype)
     y = x @ w
     if "b" in p:

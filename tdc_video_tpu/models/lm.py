@@ -190,10 +190,17 @@ def lm_head(cfg: LMConfig, params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
     if cfg.tie_word_embeddings:
         w = params["embed"]["embedding"].astype(hidden.dtype)
         return jnp.einsum("bth,vh->btv", hidden, w, preferred_element_type=jnp.float32)
+    p = params["lm_head"]
+    if "w_q" in p:  # weight-only int8 (models/quant.py)
+        y = jnp.einsum(
+            "bth,hv->btv", hidden, p["w_q"].astype(hidden.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return y * p["w_scale"][None, None, :]
     return jnp.einsum(
         "bth,hv->btv",
         hidden,
-        params["lm_head"]["w"].astype(hidden.dtype),
+        p["w"].astype(hidden.dtype),
         preferred_element_type=jnp.float32,
     )
 

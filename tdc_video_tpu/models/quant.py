@@ -1,0 +1,78 @@
+"""Weight-only int8 quantization for the serving decode path.
+
+Autoregressive decode is HBM-bandwidth-bound: every token streams the full
+LM weight set (6.4 GB bf16 for Llama-3.2-3B -> ~128 tok/s roofline on a v5e,
+PERF.md).  Symmetric per-output-channel int8 halves the weight bytes, so the
+decode roofline doubles; the matmul runs as int8-loaded, bf16-converted
+operands with the channel scale applied to the output — XLA fuses the
+convert into the dot's operand load, so HBM sees only int8.
+
+This replaces the reference's bitsandbytes 4/8-bit loading options
+(tdc/builder.py:58-67, CUDA-only) with a TPU-native path.  Weight-only
+(activations stay bf16): the standard accuracy-safe serving quantization.
+
+Usage:
+    params["lm"] = quantize_lm_int8(params["lm"])   # after load, before jit
+    # layers.linear dispatches on the "w_q" key; all call sites unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+Params = Any
+
+
+def quantize_linear_int8(p: Params) -> Params:
+    """{"w": [in, out], "b"?} -> {"w_q": int8, "w_scale": [out], "b"?}."""
+    w = p["w"].astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w), axis=0)  # per output channel
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    w_q = jnp.clip(jnp.round(w / scale[None, :]), -127, 127).astype(jnp.int8)
+    out = {"w_q": w_q, "w_scale": scale.astype(jnp.float32)}
+    if "b" in p:
+        out["b"] = p["b"]
+    return out
+
+
+def _is_linear(p) -> bool:
+    return isinstance(p, dict) and "w" in p and p["w"].ndim >= 2
+
+
+def quantize_lm_int8(lm_params: Params, include_head: bool = True) -> Params:
+    """Quantize every projection in the LM tree (stacked-layer leaves keep
+    their leading [num_layers] axis; scales follow).  The embedding table
+    stays bf16/f32 — it is gathered, not streamed, per token."""
+
+    def rec(tree, path=()):
+        if _is_linear(tree) and path[:1] != ("embed",):
+            if path[:1] == ("lm_head",) and not include_head:
+                return tree
+            w = tree["w"]
+            if w.ndim == 3:  # stacked layers [L, in, out]
+                ws = w.astype(jnp.float32)
+                amax = jnp.max(jnp.abs(ws), axis=1)  # [L, out]
+                scale = jnp.maximum(amax / 127.0, 1e-8)
+                w_q = jnp.clip(jnp.round(ws / scale[:, None, :]), -127, 127).astype(jnp.int8)
+                out = {"w_q": w_q, "w_scale": scale.astype(jnp.float32)}
+                if "b" in tree:
+                    out["b"] = tree["b"]
+                return out
+            return quantize_linear_int8(tree)
+        if isinstance(tree, dict):
+            return {k: rec(v, path + (k,)) for k, v in tree.items()}
+        return tree
+
+    return rec(lm_params)
+
+
+def dequantize_linear(p: Params, dtype=jnp.float32) -> Params:
+    """Inverse (tests / export): w = w_q * scale."""
+    w = p["w_q"].astype(jnp.float32) * p["w_scale"][..., None, :]
+    out = {"w": w.astype(dtype)}
+    if "b" in p:
+        out["b"] = p["b"]
+    return out

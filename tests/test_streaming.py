@@ -54,11 +54,13 @@ def test_streaming_matches_monolithic(clip):
         max_visual_len=4096,
     )
     assert int(n_visual) == int(n2)
+    # bf16 compression (config.compress_dtype) amplifies the chunked-vs-batch
+    # tower reduction-order noise to ~bf16 epsilon; f32 used to sit at 2e-4
     np.testing.assert_allclose(
         np.asarray(visual[: int(n_visual)]),
         np.asarray(v2[: int(n2)]),
-        rtol=2e-4,
-        atol=2e-4,
+        rtol=1e-2,
+        atol=1e-2,
     )
 
     # device-preprocess path: same shapes/counts, numerics tracked by
