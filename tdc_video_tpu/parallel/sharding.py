@@ -69,17 +69,22 @@ def lm_param_spec(params: Params, fsdp_size: int = 0) -> Params:
         body = nd - (1 if in_layers else 0)
         if "embedding" in names:  # [V, H]
             return P(MODEL_AXIS, None)
-        if "lm_head" in names and names[-1] == "w":  # [H, V]
+        if "lm_head" in names and names[-1] in ("w", "w_q"):  # [H, V]
             return P(None, MODEL_AXIS)
+        if "lm_head" in names and names[-1] == "w_scale":  # [V]
+            return P(MODEL_AXIS)
         if any(n in _COL for n in names):
-            if names[-1] == "w" and body == 2:
+            # int8 serving (models/quant.py): w_q shards like w; the
+            # per-output-channel scale follows the sharded output dim
+            if names[-1] in ("w", "w_q") and body == 2:
                 return wrap(None, MODEL_AXIS)
-            if names[-1] == "b" and body == 1:
+            if names[-1] in ("b", "w_scale") and body == 1:
                 return wrap(MODEL_AXIS)
             return wrap(*([None] * body))
         if any(n in _ROW for n in names):
-            if names[-1] == "w" and body == 2:
+            if names[-1] in ("w", "w_q") and body == 2:
                 return wrap(MODEL_AXIS, None)
+            # w_scale indexes the (unsharded) output dim: replicated
             return wrap(*([None] * body))
         # mlp gate_up fused projections: shard output dim
         if "gate_up" in names and names[-1] == "w" and body == 2:

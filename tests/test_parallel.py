@@ -128,3 +128,43 @@ class TestSequenceParallel:
         with mesh:
             got = fn(params, ids)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+class TestTPServing:
+    """Tensor-parallel serving: prefill + greedy decode over the `model` axis
+    must be token-identical to unsharded decode — bf16 and weight-only int8
+    (the 7B single-chip-OOM deployment path, PERF.md)."""
+
+    @pytest.mark.parametrize("quantize", [False, True])
+    def test_tp_decode_matches_unsharded(self, quantize):
+        import dataclasses
+
+        from tdc_video_tpu.config import tdc_tiny
+        from tdc_video_tpu.models import lm as lm_mod
+        from tdc_video_tpu.parallel.mesh import make_mesh
+        from tdc_video_tpu.parallel.sharding import lm_param_spec, shard_tree, to_named
+        from tdc_video_tpu.serving.generate import generate_text_only
+
+        cfg = tdc_tiny()
+        lm_params = lm_mod.init_lm(jax.random.PRNGKey(0), cfg.lm, dtype=jnp.float32)
+        if quantize:
+            from tdc_video_tpu.models.quant import quantize_lm_int8
+
+            lm_params = quantize_lm_int8(lm_params)
+        params = {"lm": lm_params}
+        rng = np.random.default_rng(3)
+        ids = jnp.asarray(rng.integers(2, 90, (1, 9)), jnp.int32)
+        mask = jnp.ones(ids.shape, jnp.bool_)
+
+        ref = np.asarray(generate_text_only(cfg, params, ids, mask, max_new_tokens=8))
+
+        mesh = make_mesh(4, 2)
+        spec = {"lm": lm_param_spec(lm_params)}
+        sharded = {"lm": shard_tree(lm_params, spec["lm"], mesh)}
+        jgen = jax.jit(
+            lambda p, i, m: generate_text_only(cfg, p, i, m, max_new_tokens=8),
+            in_shardings=(to_named(spec, mesh), None, None),
+        )
+        with mesh:
+            out = jgen(sharded, ids, mask)
+        np.testing.assert_array_equal(np.asarray(out), ref)
