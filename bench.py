@@ -17,6 +17,16 @@ import time
 import numpy as np
 
 import jax
+
+# persistent compile cache: tower compiles are ~7 min cold on a 1-core host,
+# seconds warm; the cache dir survives across driver rounds
+try:
+    import os as _os
+
+    jax.config.update("jax_compilation_cache_dir", _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+except Exception:
+    pass
 import jax.numpy as jnp
 
 
