@@ -254,3 +254,27 @@ class TestResume:
         # resumed run answered nothing new but reports the same metrics
         assert predictor.stats.samples == n_before
         assert m1 == m2
+
+
+@pytest.mark.slow
+class TestActivationDiff:
+    def test_dump_and_self_diff(self, tmp_path):
+        """cli/activation_diff: dump per-stage activations for a synthetic
+        checkpoint + MPEG-4 fixture, then self-diff must be exact."""
+        from tdc_video_tpu.cli.activation_diff import main
+        from tdc_video_tpu.config import tdc_tiny
+        from tdc_video_tpu.media.io import encode_test_video
+        from test_builder import write_checkpoint
+
+        ckpt = str(tmp_path / "ckpt")
+        write_checkpoint(ckpt, tdc_tiny(), audio=False)
+        vid = str(tmp_path / "v.mp4")
+        encode_test_video(vid, 160, 120, fps=25.0, n_frames=100)
+        out = str(tmp_path / "a.npz")
+        assert main(["dump", "--model_path", ckpt, "--video", vid, "--out", out]) == 0
+        import numpy as _np
+
+        z = _np.load(out)
+        for k in ("siglip_feats", "dino_feats", "frame_feats", "boundaries", "visual"):
+            assert k in z.files
+        assert main(["diff", out, out]) == 0
