@@ -18,9 +18,12 @@ def run(name, lm_cfg, quant):
 
     cfg = dataclasses.replace(C.tdc_tiny(), lm=lm_cfg)
     shapes = jax.eval_shape(lambda: lm_mod.init_lm(jax.random.PRNGKey(0), lm_cfg, dtype=jnp.bfloat16))
-    lm_params = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
     if quant:
-        lm_params = jax.jit(quantize_lm_int8)(lm_params)
+        # structural zeros of the QUANTIZED tree directly: materializing the
+        # bf16 tree first and quantizing on-device doubles HBM transiently
+        # (full-size f32 intermediates) and OOMs at 7B on one chip
+        shapes = jax.eval_shape(quantize_lm_int8, shapes)
+    lm_params = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
     params = {"lm": lm_params}
 
     B, L, NEW = 1, 512, 64
