@@ -175,14 +175,16 @@ def load_pretrained_model(
     model_name: Optional[str] = None,
     dtype=None,
     load_tokenizer: bool = True,
-    quantize: Optional[str] = None,  # "int8": weight-only int8 LM (serving)
+    quantize: Optional[str] = None,  # "int8": weight-only int8 LM; "int8-all": + int8-compute towers
 ) -> Tuple[Any, TDCModel, list, int]:
     """Reference-compatible loader signature (tdc/builder.py:40-51): returns
     (tokenizer, model, image_preprocess_list, context_len).
 
     quantize="int8" replaces the reference's CUDA-only bitsandbytes 4/8-bit
     options (tdc/builder.py:58-67) with TPU-native weight-only int8 on the
-    LM (models/quant.py) — ~2x the decode roofline."""
+    LM (models/quant.py) — ~2x the decode roofline.  quantize="int8-all"
+    additionally quantizes the SigLIP/DINOv2 towers for int8 MXU compute
+    (~2x bf16 encode throughput; drift bounds in tests/test_quant.py)."""
     import jax.numpy as jnp
 
     model_name = model_name or os.path.basename(model_path)
@@ -222,10 +224,13 @@ def load_pretrained_model(
         params,
     )
 
-    if quantize == "int8":
-        from .models.quant import quantize_lm_int8
+    if quantize in ("int8", "int8-all"):
+        from .models.quant import quantize_lm_int8, quantize_vit_int8
 
         params["lm"] = quantize_lm_int8(params["lm"])
+        if quantize == "int8-all":
+            params["siglip"] = quantize_vit_int8(params["siglip"])
+            params["dino"] = quantize_vit_int8(params["dino"])
     elif quantize not in (None, "none"):
         raise ValueError(f"unknown quantize mode {quantize!r}")
 

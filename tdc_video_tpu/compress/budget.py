@@ -10,6 +10,7 @@ from __future__ import annotations
 from typing import Sequence
 
 from ..config import TDCConfig
+from ..constants import AUDIO_TOKENS_PER_SECOND
 
 
 def text_length(cfg: TDCConfig, input_ids: Sequence[int]) -> int:
@@ -23,10 +24,15 @@ def text_length(cfg: TDCConfig, input_ids: Sequence[int]) -> int:
 
 
 def tokens_per_frame(cfg: TDCConfig) -> int:
+    """The reference hardcodes 144 (+50 audio) at cambrian_arch.py:766-768;
+    here the static term is derived from the configured SVA grid so non-144
+    video grids (e.g. the 16-token lowres config) budget correctly."""
     c = cfg.compression
     if not c.add_static:
         return c.context_token_num
-    static = 144 + (50 if cfg.audio_input else 0)
+    static = cfg.sva.image_token_len + (
+        AUDIO_TOKENS_PER_SECOND if cfg.audio_input else 0
+    )
     return (static + c.context_token_num * (c.chunk_size - 1)) // c.chunk_size
 
 

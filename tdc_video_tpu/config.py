@@ -380,12 +380,14 @@ class TDCConfig:
         return self.sva.image_token_len
 
     def tokens_per_frame(self) -> int:
-        """Amortized LLM tokens per video frame (reference cambrian_arch.py:760-770)."""
+        """Amortized LLM tokens per video frame (reference hardcodes 144/50 at
+        cambrian_arch.py:760-770; derived here from the configured SVA grid
+        so non-144 video grids budget correctly)."""
         k = self.compression.context_token_num
         n = self.compression.chunk_size
         if not self.compression.add_static:
             return k
-        static = 144 + (50 if self.audio_input else 0)
+        static = self.sva.image_token_len + (50 if self.audio_input else 0)
         return (static + k * (n - 1)) // n
 
 

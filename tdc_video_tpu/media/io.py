@@ -159,7 +159,7 @@ def decode_video(
             oh,
             ts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         )
-    if n < 0:  # single-thread path, or mt fallback (rc -7/-8: unsliceable)
+    if n < 0:  # single-thread path, or mt fallback (rc -7/-8/-9: unsliceable)
         n = lib.tdc_decode_video(
             path.encode(),
             float(fps),
@@ -229,7 +229,7 @@ def decode_video_range(
         oh,
         ts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
     )
-    if n in (-7, -8):
+    if n in (-7, -8, -9):
         return None
     if n < 0:
         raise IOError(f"range decode failed for {path} (rc={n})")

@@ -208,7 +208,14 @@ void decode_range(RangeJob* job) {
   AVStream* st = m.fmt->streams[m.stream];
   double tb = av_q2d(st->time_base);
   const double step = 1.0 / job->fps;
-  int k = job->k0;
+  // Warm-up targets: in the sequential one-target-per-frame scan a frame
+  // near the slice boundary may already have been consumed by target k0-1
+  // (when the local frame interval exceeds `step`), so a worker that starts
+  // cold at k0 would re-emit it.  Consuming (and discarding) up to two
+  // earlier targets reproduces the sequential consumption chain across the
+  // boundary for gaps spanning up to two steps; sparser streams are routed
+  // to the sequential decoder by the caller's avg-fps guard (rc -9).
+  int k = job->k0 - std::min(2, job->k0);
   double target = k * step;
 
   if (k > 0) {
@@ -256,11 +263,13 @@ void decode_range(RangeJob* job) {
       double t = pts * tb;
       if (t + 1e-9 >= target) {  // one target per frame (matches the
                                  // sequential sampler's semantics)
-        uint8_t* dst[1] = {job->out + (size_t)(k - job->base) * frame_bytes};
-        int dst_ls[1] = {job->ow * 3};
-        sws_scale(sws, frame->data, frame->linesize, 0, m.dec->height, dst, dst_ls);
-        if (job->timestamps) job->timestamps[k - job->base] = t;
-        job->filled[k - job->base] = 1;
+        if (k >= job->k0) {  // warm-up targets are consumed but not emitted
+          uint8_t* dst[1] = {job->out + (size_t)(k - job->base) * frame_bytes};
+          int dst_ls[1] = {job->ow * 3};
+          sws_scale(sws, frame->data, frame->linesize, 0, m.dec->height, dst, dst_ls);
+          if (job->timestamps) job->timestamps[k - job->base] = t;
+          job->filled[k - job->base] = 1;
+        }
         k++;
         target = k * step;
       }
@@ -297,9 +306,17 @@ int tdc_decode_video_mt(const char* path, double fps, int max_dim,
   }
   int w = m.dec->width, h = m.dec->height;
   double dur = m.fmt->duration > 0 ? m.fmt->duration / (double)AV_TIME_BASE : 0.0;
+  AVStream* vst = m.fmt->streams[m.stream];
+  AVRational fr = vst->avg_frame_rate.num ? vst->avg_frame_rate : vst->r_frame_rate;
+  double src_fps = fr.den > 0 ? av_q2d(fr) : 0.0;
   close_media(&m);
   if (w <= 0 || h <= 0) return -2;
   if (dur <= 0.0) return -8;  // unknown duration: cannot partition targets
+  // Sparse-sampling guard: when the source frame interval approaches the
+  // sample step, target->frame assignment depends on the consumption chain
+  // from frame 0 (one-target-per-frame), which a seeking worker cannot
+  // reconstruct beyond its warm-up window.  Route to sequential decode.
+  if (src_fps > 0.0 && src_fps < 2.0 * fps) return -9;
 
   int ow, oh;
   if (w >= h) {
@@ -368,9 +385,13 @@ int tdc_decode_video_range(const char* path, double fps, int max_dim, int k0,
   }
   int w = m.dec->width, h = m.dec->height;
   double dur = m.fmt->duration > 0 ? m.fmt->duration / (double)AV_TIME_BASE : 0.0;
+  AVStream* vst = m.fmt->streams[m.stream];
+  AVRational fr = vst->avg_frame_rate.num ? vst->avg_frame_rate : vst->r_frame_rate;
+  double src_fps = fr.den > 0 ? av_q2d(fr) : 0.0;
   close_media(&m);
   if (w <= 0 || h <= 0) return -2;
   if (dur <= 0.0 && k0 > 0) return -8;
+  if (src_fps > 0.0 && src_fps < 2.0 * fps && k0 > 0) return -9;  // see mt guard
 
   int ow, oh;
   if (w >= h) {

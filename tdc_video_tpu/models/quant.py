@@ -42,15 +42,13 @@ def _is_linear(p) -> bool:
     return isinstance(p, dict) and "w" in p and p["w"].ndim >= 2
 
 
-def quantize_lm_int8(lm_params: Params, include_head: bool = True) -> Params:
-    """Quantize every projection in the LM tree (stacked-layer leaves keep
-    their leading [num_layers] axis; scales follow).  The embedding table
-    stays bf16/f32 — it is gathered, not streamed, per token."""
+def quantize_tree_int8(params: Params, skip=()) -> Params:
+    """Quantize every linear in a module tree (stacked-layer [L, in, out]
+    leaves keep their leading axis; scales follow).  `skip` is a set of
+    top-level subtree names to leave untouched."""
 
     def rec(tree, path=()):
-        if _is_linear(tree) and path[:1] != ("embed",):
-            if path[:1] == ("lm_head",) and not include_head:
-                return tree
+        if _is_linear(tree) and path[:1] not in {(s,) for s in skip}:
             w = tree["w"]
             if w.ndim == 3:  # stacked layers [L, in, out]
                 ws = w.astype(jnp.float32)
@@ -66,7 +64,26 @@ def quantize_lm_int8(lm_params: Params, include_head: bool = True) -> Params:
             return {k: rec(v, path + (k,)) for k, v in tree.items()}
         return tree
 
-    return rec(lm_params)
+    return rec(params)
+
+
+def quantize_lm_int8(lm_params: Params, include_head: bool = True) -> Params:
+    """LM projections -> weight-only int8 (decode is HBM-bound; see module
+    docstring).  The embedding table stays bf16/f32 — it is gathered, not
+    streamed, per token."""
+    skip = ("embed",) if include_head else ("embed", "lm_head")
+    return quantize_tree_int8(lm_params, skip=skip)
+
+
+def quantize_vit_int8(vit_params: Params) -> Params:
+    """ViT tower -> int8 for MXU int8 COMPUTE (models/layers.int8_matmul):
+    the towers are compute-bound (PERF.md: 97% of encode+compress at ~44%
+    bf16 MFU), so unlike the LM the win here comes from the s8 x s8 dot
+    running at ~2x bf16 MXU throughput, with activations dynamically
+    quantized per token.  LayerNorm / softmax / LayerScale / pos-embed stay
+    float.  Replaces the bf16 tower forward of the reference
+    (/root/reference/tdc/cambrian_arch.py:698-745) at serving time."""
+    return quantize_tree_int8(vit_params)
 
 
 def dequantize_linear(p: Params, dtype=jnp.float32) -> Params:

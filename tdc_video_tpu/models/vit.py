@@ -109,23 +109,27 @@ def _layer_forward(cfg: ViTConfig, p: Params, x: jnp.ndarray, attn_impl: str):
     B, N, D = x.shape
     nh = cfg.num_heads
     hd = D // nh
+    # act_quant: when the tower is int8-quantized (models/quant.py
+    # quantize_vit_int8) the projections run s8 x s8 on the MXU with
+    # per-token dynamic activation scales; a no-op for float weights.
+    lin = functools.partial(linear, act_quant=True)
     h = layer_norm(p["norm1"], x, cfg.layer_norm_eps)
-    q = linear(p["q_proj"], h).reshape(B, N, nh, hd)
-    k = linear(p["k_proj"], h).reshape(B, N, nh, hd)
-    v = linear(p["v_proj"], h).reshape(B, N, nh, hd)
+    q = lin(p["q_proj"], h).reshape(B, N, nh, hd)
+    k = lin(p["k_proj"], h).reshape(B, N, nh, hd)
+    v = lin(p["v_proj"], h).reshape(B, N, nh, hd)
     a = attention(q, k, v, impl=attn_impl).reshape(B, N, D)
-    a = linear(p["o_proj"], a)
+    a = lin(p["o_proj"], a)
     if cfg.layerscale:
         a = a * p["ls1"].astype(a.dtype)
     x = x + a
 
     h = layer_norm(p["norm2"], x, cfg.layer_norm_eps)
     if cfg.use_swiglu:
-        gu = linear(p["mlp"]["gate_up"], h)
+        gu = lin(p["mlp"]["gate_up"], h)
         g, u = jnp.split(gu, 2, axis=-1)
-        m = linear(p["mlp"]["down"], jax.nn.silu(g) * u)
+        m = lin(p["mlp"]["down"], jax.nn.silu(g) * u)
     else:
-        m = linear(p["mlp"]["fc2"], jax.nn.gelu(linear(p["mlp"]["fc1"], h), approximate=True))
+        m = lin(p["mlp"]["fc2"], jax.nn.gelu(lin(p["mlp"]["fc1"], h), approximate=True))
     if cfg.layerscale:
         m = m * p["ls2"].astype(m.dtype)
     return x + m
@@ -141,7 +145,7 @@ def vit_forward(
 ) -> jnp.ndarray:
     """Returns patch features [B, N(or interp_tokens), C]; CLS dropped."""
     x = patchify(pixels.astype(dtype), cfg.patch_size)
-    x = linear(params["patch_embed"], x)
+    x = linear(params["patch_embed"], x, act_quant=True)
     B = x.shape[0]
     if cfg.use_cls_token:
         cls = jnp.broadcast_to(params["cls_token"].astype(x.dtype), (B, 1, cfg.hidden_size))

@@ -149,12 +149,17 @@ class DecodeEngine:
             self.cache = _insert_cache(self.cache, cache1, slot)
             first_i = int(first[0])
             req.tokens.append(first_i)
-            if first_i in self.cfg.lm.eos_token_ids or req.max_new_tokens <= 1:
+            # Each decode step writes KV at position `lengths`; generating G
+            # post-prefill tokens needs L+G <= capacity, else decode_step's
+            # write_pos clamp (models/lm.py) would silently overwrite the last
+            # cache row every step.  Truncate the budget to what fits.
+            budget = min(req.max_new_tokens - 1, self.capacity - L)
+            if first_i in self.cfg.lm.eos_token_ids or budget <= 0:
                 req.done = True
                 self._finished.append(req)
                 continue
             self._requests[slot] = req
-            self._budget[slot] = req.max_new_tokens - 1
+            self._budget[slot] = budget
             self._last_tok = self._last_tok.at[slot].set(first_i)
             self._active = self._active.at[slot].set(True)
 
@@ -176,6 +181,11 @@ class DecodeEngine:
         while self._queue or any(r is not None for r in self._requests):
             self._admit()
             if not bool(jnp.any(self._active)):
+                if self._queue:
+                    # every admitted request finished at prefill (EOS first
+                    # token / budget 0) — keep admitting the queue rather than
+                    # stranding it.
+                    continue
                 break
             budget_before = self._budget.copy()
             self.cache, self._last_tok, self._active, budget, toks = self._jchunk(

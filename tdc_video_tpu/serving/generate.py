@@ -31,6 +31,48 @@ def temperature_sample(logits: jnp.ndarray, key, temperature: float = 1.0) -> jn
     return jax.random.categorical(key, logits / temperature, axis=-1).astype(jnp.int32)
 
 
+def top_k_filter(logits: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Keep the k largest logits per row, -inf the rest (HF TopKLogitsWarper)."""
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits < kth, -jnp.inf, logits)
+
+
+def top_p_filter(logits: jnp.ndarray, p: float) -> jnp.ndarray:
+    """Nucleus filtering (HF TopPLogitsWarper): keep the smallest prefix of
+    descending-probability tokens whose cumulative mass reaches p (the first
+    token crossing the threshold is kept)."""
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # keep while the mass BEFORE this token is < p (== HF's shift-right rule)
+    keep_sorted = (cum - probs) < p
+    # threshold = smallest kept logit; ties at the cut are kept, matching the
+    # sorted prefix within float equality
+    kth = jnp.min(jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1, keepdims=True)
+    return jnp.where(logits < kth, -jnp.inf, logits)
+
+
+def sample_logits(
+    logits: jnp.ndarray,
+    key,
+    temperature: float = 0.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+) -> jnp.ndarray:
+    """HF-generate-equivalent sampling: temperature==0 is greedy; otherwise
+    temperature scaling -> top-k -> top-p -> categorical, the warper order of
+    the reference demo (`do_sample=True, temperature=0.2` through HF generate,
+    /root/reference/main.py:64-65, which applies HF's default top_k=50)."""
+    if temperature == 0.0:
+        return greedy_sample(logits, key)
+    x = logits.astype(jnp.float32) / temperature
+    if top_k and top_k > 0:
+        x = top_k_filter(x, min(top_k, x.shape[-1]))
+    if top_p < 1.0:
+        x = top_p_filter(x, top_p)
+    return jax.random.categorical(key, x, axis=-1).astype(jnp.int32)
+
+
 def decode_loop(
     cfg: TDCConfig,
     params: Params,
@@ -38,6 +80,8 @@ def decode_loop(
     first_token: jnp.ndarray,  # [B] int32
     max_new_tokens: int,
     temperature: float = 0.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
     key: Optional[jnp.ndarray] = None,
     attn_impl: str = "xla",
 ) -> jnp.ndarray:
@@ -49,9 +93,7 @@ def decode_loop(
     if key is None:
         key = jax.random.PRNGKey(0)
 
-    sample = (
-        greedy_sample if temperature == 0.0 else partial(temperature_sample, temperature=temperature)
-    )
+    sample = partial(sample_logits, temperature=temperature, top_k=top_k, top_p=top_p)
 
     def cond(state):
         i, _, _, done, _, _ = state
@@ -79,6 +121,15 @@ def decode_loop(
     return out
 
 
+def _sample_first(logits, temperature, top_k, top_p, key):
+    """First generated token comes from the prefill logits."""
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32), key
+    key = jax.random.PRNGKey(0) if key is None else key
+    key, sub = jax.random.split(key)
+    return sample_logits(logits, sub, temperature, top_k, top_p), key
+
+
 def generate(
     cfg: TDCConfig,
     params: Params,
@@ -97,6 +148,8 @@ def generate(
     max_len: int = 4096,
     max_visual_len: int = 2048,
     temperature: float = 0.0,
+    top_k: int = 50,
+    top_p: float = 1.0,
     key: Optional[jnp.ndarray] = None,
     attn_impl: str = "xla",
 ) -> jnp.ndarray:
@@ -127,12 +180,7 @@ def generate(
     logits, cache = lm_mod.prefill(
         cfg.lm, params["lm"], mm["embeds"], mm["attn_mask"], cache, attn_impl=attn_impl, dtype=cfg.dtype
     )
-    if temperature == 0.0:
-        first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    else:
-        key = jax.random.PRNGKey(0) if key is None else key
-        key, sub = jax.random.split(key)
-        first = temperature_sample(logits, sub, temperature)
+    first, key = _sample_first(logits, temperature, top_k, top_p, key)
     return decode_loop(
         cfg,
         params,
@@ -140,6 +188,8 @@ def generate(
         first,
         max_new_tokens,
         temperature=temperature,
+        top_k=top_k,
+        top_p=top_p,
         key=key,
         attn_impl=attn_impl,
     )
@@ -152,6 +202,8 @@ def generate_text_only(
     attention_mask: jnp.ndarray,  # [B, L]
     max_new_tokens: int = 64,
     temperature: float = 0.0,
+    top_k: int = 50,
+    top_p: float = 1.0,
     key: Optional[jnp.ndarray] = None,
     attn_impl: str = "xla",
 ) -> jnp.ndarray:
@@ -162,14 +214,9 @@ def generate_text_only(
     logits, cache = lm_mod.prefill(
         cfg.lm, params["lm"], embeds, attention_mask, cache, attn_impl=attn_impl, dtype=cfg.dtype
     )
-    if temperature == 0.0:
-        first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    else:
-        key = jax.random.PRNGKey(0) if key is None else key
-        key, sub = jax.random.split(key)
-        first = temperature_sample(logits, sub, temperature)
+    first, key = _sample_first(logits, temperature, top_k, top_p, key)
     return decode_loop(
-        cfg, params, cache, first, max_new_tokens, temperature=temperature, key=key, attn_impl=attn_impl
+        cfg, params, cache, first, max_new_tokens, temperature=temperature, top_k=top_k, top_p=top_p, key=key, attn_impl=attn_impl
     )
 
 
@@ -191,6 +238,8 @@ def generate_encoded(
     max_len: int = 4096,
     max_visual_len: int = 2048,
     temperature: float = 0.0,
+    top_k: int = 50,
+    top_p: float = 1.0,
     key: Optional[jnp.ndarray] = None,
     attn_impl: str = "xla",
 ) -> jnp.ndarray:
@@ -222,13 +271,8 @@ def generate_encoded(
     logits, cache = lm_mod.prefill(
         cfg.lm, params["lm"], mm["embeds"], mm["attn_mask"], cache, attn_impl=attn_impl, dtype=cfg.dtype
     )
-    if temperature == 0.0:
-        first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    else:
-        key = jax.random.PRNGKey(0) if key is None else key
-        key, sub = jax.random.split(key)
-        first = temperature_sample(logits, sub, temperature)
+    first, key = _sample_first(logits, temperature, top_k, top_p, key)
     return decode_loop(
         cfg, params, cache, first, max_new_tokens,
-        temperature=temperature, key=key, attn_impl=attn_impl,
+        temperature=temperature, top_k=top_k, top_p=top_p, key=key, attn_impl=attn_impl,
     )

@@ -155,6 +155,22 @@ def make_schedule(tcfg: TrainConfig, total_steps: int, base_lr: float):
     )
 
 
+def _zero_frozen_grads(trainable: Params) -> optax.GradientTransformation:
+    """Zero frozen-leaf gradients BEFORE clip_by_global_norm so frozen leaves
+    do not inflate the global norm and over-clip the trainable updates (the
+    reference clips over trainable params only: torch clip_grad_norm_ runs on
+    parameters with requires_grad, tdc/mm_trainer.py optimizer setup)."""
+
+    def update(updates, state, params=None):
+        del params
+        updates = jax.tree_util.tree_map(
+            lambda g, t: g if t else jnp.zeros_like(g), updates, trainable
+        )
+        return updates, state
+
+    return optax.GradientTransformation(lambda _: optax.EmptyState(), update)
+
+
 def build_optimizer(params: Params, tcfg: TrainConfig, total_steps: int):
     """Masked, grouped AdamW with cosine schedule + grad accumulation."""
     mask = trainable_mask(params, tcfg)
@@ -183,6 +199,7 @@ def build_optimizer(params: Params, tcfg: TrainConfig, total_steps: int):
                 make_schedule(tcfg, total_steps, lr), weight_decay=wd
             )
     tx = optax.chain(
+        _zero_frozen_grads(mask),
         optax.clip_by_global_norm(tcfg.grad_clip),
         optax.multi_transform(transforms, labels),
     )
@@ -264,6 +281,7 @@ class Trainer:
             "nd": optax.adamw(sched, weight_decay=0.0),
         }
         tx = optax.chain(
+            _zero_frozen_grads(opt_mask),
             optax.clip_by_global_norm(tcfg.grad_clip),
             optax.multi_transform(transforms, labels),
         )

@@ -104,3 +104,33 @@ class TestDecodeEngine:
         done2 = eng.run()
         assert len(done2) == 1
         assert done2[0].tokens == _solo(cfg, params, b, 6)
+
+
+class TestCapacityAndQueueDrain:
+    def test_budget_truncated_to_capacity(self, setup):
+        """A request whose prompt+max_new_tokens exceeds cache capacity is
+        truncated (never silently overwrites the last KV row)."""
+        cfg, params = setup
+        rng = np.random.default_rng(7)
+        eng = DecodeEngine(cfg, params, num_slots=2, capacity=24, chunk_tokens=4)
+        req = _req(cfg, params, rng.integers(2, 50, (18,)), 64)
+        eng.submit(req)
+        done = eng.run()
+        assert len(done) == 1
+        # first token + (capacity - L) decode steps is the hard ceiling
+        assert len(done[0].tokens) <= 1 + (24 - 18)
+
+    def test_prefill_terminated_queue_drains(self, setup):
+        """Requests finishing at prefill (max_new_tokens=1) must not strand
+        the rest of the queue (run() used to break when no slot was active)."""
+        cfg, params = setup
+        rng = np.random.default_rng(8)
+        eng = DecodeEngine(cfg, params, num_slots=1, capacity=32, chunk_tokens=4)
+        uids = []
+        for i in range(3):
+            r = _req(cfg, params, rng.integers(2, 50, (5 + i,)), 1)
+            uids.append(r.uid)
+            eng.submit(r)
+        done = eng.run()
+        assert sorted(r.uid for r in done) == sorted(uids)
+        assert all(len(r.tokens) == 1 for r in done)

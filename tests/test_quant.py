@@ -80,3 +80,88 @@ def test_builder_quantize_flag(tmp_path):
     assert model.params["lm"]["layers"]["q_proj"]["w_q"].dtype == jnp.int8
     with pytest.raises(ValueError):
         load_pretrained_model(ckpt, load_tokenizer=False, quantize="int4")
+
+
+class TestInt8Towers:
+    """int8 MXU-compute tower quantization (quantize_vit_int8 +
+    layers.int8_matmul): the compute-bound analog of the LM's weight-only
+    path — activations dynamically quantized per token, s8 x s8 dot."""
+
+    def test_int8_matmul_matches_f32(self):
+        from tdc_video_tpu.models.layers import int8_matmul
+        from tdc_video_tpu.models.quant import quantize_linear_int8
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(0, 1, (32, 64)), jnp.float32)
+        p = {"w": jnp.asarray(rng.normal(0, 0.05, (64, 48)), jnp.float32)}
+        q = quantize_linear_int8(p)
+        ref = np.asarray(x @ p["w"])
+        got = np.asarray(int8_matmul(x, q["w_q"], q["w_scale"]))
+        rel = np.abs(got - ref).max() / np.abs(ref).max()
+        assert rel < 0.03, rel
+
+    def test_tower_feature_drift_bounded(self):
+        from tdc_video_tpu.config import tdc_tiny
+        from tdc_video_tpu.models.quant import quantize_vit_int8
+        from tdc_video_tpu.models.vit import init_vit, vit_forward
+
+        cfg = tdc_tiny()
+        rng = np.random.default_rng(3)
+        for name, vcfg in (("siglip", cfg.siglip), ("dino", cfg.dino)):
+            p = init_vit(jax.random.PRNGKey(0), vcfg, jnp.float32)
+            px = jnp.asarray(
+                rng.normal(0, 1, (2, vcfg.image_size, vcfg.image_size, 3)),
+                jnp.float32,
+            )
+            ref = np.asarray(vit_forward(vcfg, p, px))
+            got = np.asarray(vit_forward(vcfg, quantize_vit_int8(p), px))
+            rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+            cos = (got * ref).sum() / (
+                np.linalg.norm(got) * np.linalg.norm(ref)
+            )
+            assert rel < 0.05, (name, rel)
+            assert cos > 0.995, (name, cos)
+
+    def test_encode_compress_int8_drift(self):
+        """End-to-end encode+compress with int8 towers stays close to f32
+        (the serving configuration behind `--quantize int8-all`)."""
+        from tdc_video_tpu.config import tdc_tiny
+        from tdc_video_tpu.model import encode_frames, init_tdc
+        from tdc_video_tpu.models.quant import quantize_vit_int8
+
+        cfg = tdc_tiny()
+        params = init_tdc(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(4)
+        T = 3
+        sig = jnp.asarray(
+            rng.normal(0, 1, (T, cfg.siglip.image_size, cfg.siglip.image_size, 3)),
+            jnp.float32,
+        )
+        dino = jnp.asarray(
+            rng.normal(0, 1, (T, cfg.dino.image_size, cfg.dino.image_size, 3)),
+            jnp.float32,
+        )
+        ref, _ = encode_frames(cfg, params, sig, dino)
+        qparams = dict(params)
+        qparams["siglip"] = quantize_vit_int8(params["siglip"])
+        qparams["dino"] = quantize_vit_int8(params["dino"])
+        got, _ = encode_frames(cfg, qparams, sig, dino)
+        ref, got = np.asarray(ref), np.asarray(got)
+        rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+        assert rel < 0.08, rel
+
+    def test_builder_int8_all(self, tmp_path):
+        from test_builder import write_checkpoint
+        from tdc_video_tpu.builder import load_pretrained_model
+        from tdc_video_tpu.config import tdc_tiny
+
+        ckpt = str(tmp_path / "ckpt")
+        write_checkpoint(ckpt, tdc_tiny(), audio=False)
+        _, model, _, _ = load_pretrained_model(
+            ckpt, load_tokenizer=False, quantize="int8-all"
+        )
+        assert model.params["siglip"]["layers"]["q_proj"]["w_q"].dtype == jnp.int8
+        assert model.params["dino"]["layers"]["q_proj"]["w_q"].dtype == jnp.int8
+        assert model.params["lm"]["layers"]["q_proj"]["w_q"].dtype == jnp.int8
+        # the SVA connector and Q-Former stay float (3% of pipeline time)
+        assert "w" in model.params["sva"]["mm_projector"]["fc1"]

@@ -230,3 +230,46 @@ def test_audio_in_graph_training(tmp_path):
     assert np.isfinite(float(loss))
     gn = jax.tree_util.tree_reduce(lambda a, x: a + float(jnp.abs(x).sum()), g, 0.0)
     assert gn > 0, "no gradient reached audio_proj through the in-graph audio path"
+
+
+class TestFrozenGradClip:
+    def test_frozen_grads_do_not_inflate_clip(self):
+        """clip_by_global_norm must see only trainable gradients: a huge
+        gradient on a frozen leaf (towers are frozen by default) must not
+        shrink the trainable update (the reference clips over
+        requires_grad params only)."""
+        import optax
+
+        from tdc_video_tpu.config import tdc_tiny
+        from tdc_video_tpu.model import init_tdc
+        from tdc_video_tpu.train.trainer import TrainConfig, build_optimizer
+
+        cfg = tdc_tiny()
+        params = init_tdc(jax.random.PRNGKey(0), cfg)
+        tcfg = TrainConfig(grad_clip=1.0)
+        tx, mask = build_optimizer(params, tcfg, total_steps=10)
+        state = tx.init(params)
+
+        grads_small = jax.tree_util.tree_map(
+            lambda p: jnp.full_like(p, 1e-3), params
+        )
+        # same gradients, plus an enormous gradient on every FROZEN leaf
+        grads_poison = jax.tree_util.tree_map(
+            lambda g, t: g if t else jnp.full_like(g, 1e6), grads_small, mask
+        )
+        up_clean, _ = tx.update(grads_small, state, params)
+        up_poison, _ = tx.update(grads_poison, tx.init(params), params)
+        clean = jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(lambda u, t: u if t else None, up_clean, mask)
+        )
+        poison = jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(lambda u, t: u if t else None, up_poison, mask)
+        )
+        for a, b in zip(clean, poison):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+        # frozen leaves still receive zero updates
+        frozen = jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(lambda u, t: None if t else u, up_poison, mask)
+        )
+        for f in frozen:
+            assert float(jnp.abs(f).max()) == 0.0
