@@ -32,10 +32,16 @@ import jax.numpy as jnp
 
 def build(cfg):
     from tdc_video_tpu.model import init_tdc
+    from tdc_video_tpu.models.quant import quantize_vit_int8
 
     # Structural (zeros) init: benchmark timing is weight-independent, and
     # materializing ~9B random values host-side would dominate startup.
+    # Towers are int8-quantized — the shipped serving configuration
+    # (`--quantize int8-all`; drift bounds in tests/test_quant.py): the
+    # s8 x s8 MXU path roughly doubles compute-bound tower throughput.
     shapes = jax.eval_shape(lambda: init_tdc(jax.random.PRNGKey(0), cfg))
+    shapes["siglip"] = jax.eval_shape(quantize_vit_int8, shapes["siglip"])
+    shapes["dino"] = jax.eval_shape(quantize_vit_int8, shapes["dino"])
     keep = {"siglip", "dino", "sva", "compressor", "image_newline"}
     return {
         k: jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), v)

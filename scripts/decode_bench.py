@@ -10,7 +10,7 @@ jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 import numpy as np, jax.numpy as jnp
 
-def run(name, lm_cfg, quant):
+def run(name, lm_cfg, quant, kv_quant=None):
     from tdc_video_tpu import config as C
     from tdc_video_tpu.models import lm as lm_mod
     from tdc_video_tpu.serving.generate import decode_loop
@@ -33,7 +33,7 @@ def run(name, lm_cfg, quant):
     def gen(params, ids, salt):
         embeds = lm_mod.embed_tokens(cfg.lm, params["lm"], ids, cfg.dtype)
         embeds = embeds + salt
-        cache = lm_mod.init_kv_cache(cfg.lm, B, L + NEW, cfg.dtype)
+        cache = lm_mod.init_kv_cache(cfg.lm, B, L + NEW, cfg.dtype, quant=kv_quant)
         logits, cache = lm_mod.prefill(cfg.lm, params["lm"], embeds, jnp.ones((B, L), bool), cache, attn_impl="flash", dtype=cfg.dtype)
         first = jnp.argmax(logits, -1).astype(jnp.int32)
         return decode_loop(cfg, params, cache, first, NEW)
@@ -51,7 +51,7 @@ def run(name, lm_cfg, quant):
     def gen1(params, ids, salt):
         embeds = lm_mod.embed_tokens(cfg.lm, params["lm"], ids, cfg.dtype)
         embeds = embeds + salt
-        cache = lm_mod.init_kv_cache(cfg.lm, B, L + NEW, cfg.dtype)
+        cache = lm_mod.init_kv_cache(cfg.lm, B, L + NEW, cfg.dtype, quant=kv_quant)
         logits, cache = lm_mod.prefill(cfg.lm, params["lm"], embeds, jnp.ones((B, L), bool), cache, attn_impl="flash", dtype=cfg.dtype)
         first = jnp.argmax(logits, -1).astype(jnp.int32)
         return decode_loop(cfg, params, cache, first, 1)
@@ -64,13 +64,15 @@ def run(name, lm_cfg, quant):
         t1s.append(time.perf_counter() - t0)
     dt1 = min(t1s)
     per_tok = (dt - dt1) / (NEW - 1)
-    print(f"{name} {'int8' if quant else 'bf16'}: decode {1/per_tok:.1f} tok/s "
+    mode = ("int8" if quant else "bf16") + (f"+kv{kv_quant}" if kv_quant else "")
+    print(f"{name} {mode}: decode {1/per_tok:.1f} tok/s "
           f"({per_tok*1e3:.2f} ms/tok); prefill+{NEW} in {dt*1e3:.0f}ms")
 
 if __name__ == "__main__":
     from tdc_video_tpu import config as C
     which = sys.argv[1] if len(sys.argv) > 1 else "3b"
     lm = C.LLAMA32_3B if which == "3b" else C.QWEN2_7B
-    modes = sys.argv[2:] or ["bf16", "int8"]
+    modes = sys.argv[2:] or ["bf16", "int8", "int8+kv8"]
     for m in modes:
-        run(which, lm, quant=(m == "int8"))
+        run(which, lm, quant=m.startswith("int8"),
+            kv_quant="int8" if "kv8" in m else None)

@@ -1,0 +1,118 @@
+"""Full-path answer benchmark: 10-min video -> answer (TTFT + tok/s).
+
+Measures the whole reference round trip (/root/reference/main.py:17-73) on
+one chip: seek-sliced host decode overlapped with tower encode
+(StreamingEncoder), TDC compression, multimodal splice, LM prefill (flash),
+and the greedy decode loop.  Reports a per-stage table, time-to-first-token
+(everything before the first generated token), and end-to-end wall vs
+playback.  Structural int8 weights passed as jit args (honest; PERF.md).
+
+Usage: python scripts/e2e_bench.py [minutes] [3b|7b] [kv8]
+"""
+import os, sys, time, dataclasses, tempfile
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_tdc"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+import numpy as np, jax.numpy as jnp
+
+
+def main():
+    from tdc_video_tpu import config as C
+    from tdc_video_tpu.media.io import encode_test_video
+    from tdc_video_tpu.models import lm as lm_mod
+    from tdc_video_tpu.models.quant import quantize_lm_int8, quantize_vit_int8
+    from tdc_video_tpu.model import init_tdc, prepare_multimodal_from_features
+    from tdc_video_tpu.serving.generate import decode_loop
+    from tdc_video_tpu.serving.streaming import StreamingEncoder
+
+    minutes = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
+    which = sys.argv[2] if len(sys.argv) > 2 else "7b"
+    kv_quant = "int8" if "kv8" in sys.argv[3:] else None
+    NEW = 64
+
+    src_fps = 24.0
+    n_frames = int(minutes * 60 * src_fps)
+    path = os.path.join(tempfile.gettempdir(), f"stream_fixture_{int(minutes)}m.mp4")
+    if not os.path.exists(path):
+        t0 = time.time()
+        encode_test_video(path, 480, 360, fps=src_fps, n_frames=n_frames)
+        print(f"fixture: {path} ({os.path.getsize(path)/1e6:.1f} MB, {time.time()-t0:.0f}s)")
+
+    cfg = C.tdc_qwen2_7b() if which == "7b" else C.tdc_llama32_3b()
+    cfg = dataclasses.replace(cfg, param_dtype=jnp.bfloat16)
+
+    # structural zeros of the SERVING tree: int8 towers + int8 LM (single-chip
+    # 7B fits only quantized, PERF.md), zeros as jit args
+    shapes = jax.eval_shape(lambda: init_tdc(jax.random.PRNGKey(0), cfg))
+    shapes["siglip"] = jax.eval_shape(quantize_vit_int8, shapes["siglip"])
+    shapes["dino"] = jax.eval_shape(quantize_vit_int8, shapes["dino"])
+    shapes["lm"] = jax.eval_shape(quantize_lm_int8, shapes["lm"])
+    params = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+    enc = StreamingEncoder(cfg, params, chunk_frames=32, max_frames=1000)
+
+    MAX_LEN, MAX_VIS, L = 4096, 3584, 64
+    rng = np.random.default_rng(0)
+    ids = np.full((L,), cfg.lm.pad_token_id, np.int32)
+    ids[:24] = rng.integers(5, 1000, 24)
+
+    def lm_path(params, embeds, amask):
+        cache = lm_mod.init_kv_cache(cfg.lm, 1, MAX_LEN + NEW, cfg.dtype, quant=kv_quant)
+        logits, cache = lm_mod.prefill(
+            cfg.lm, params["lm"], embeds, amask, cache, attn_impl="flash", dtype=cfg.dtype
+        )
+        first = jnp.argmax(logits, -1).astype(jnp.int32)
+        return first, cache
+
+    jprep = jax.jit(lambda p, ff, df, fm, i, ip, tl: prepare_multimodal_from_features(
+        cfg, p, i, ip, ff[None], df[None], fm[None], None, None,
+        text_len=tl, max_len=MAX_LEN, max_visual_len=MAX_VIS,
+    ))
+    jprefill = jax.jit(lm_path)
+    jdecode = jax.jit(lambda p, c, f: decode_loop(cfg, p, c, f, NEW))
+
+    def once(label, salt):
+        ids[20] = 5 + salt  # distinct args per run (axon memoizes identical runs)
+        stages = {}
+        t0 = time.perf_counter()
+        ff, df, fm, ts, st = enc.encode_stream(path, fps=1.0)
+        jax.block_until_ready(ff)
+        t1 = time.perf_counter()
+        stages["decode+encode (overlapped)"] = t1 - t0
+        stages["  host decode"] = st.decode_s
+        stages["  device encode"] = st.encode_s
+        mm = jprep(
+            params, ff.astype(cfg.dtype), df.astype(cfg.dtype), fm,
+            jnp.asarray(ids)[None], jnp.asarray([10], jnp.int32),
+            jnp.asarray([24], jnp.int32),
+        )
+        np.asarray(mm["seq_len"])
+        t2 = time.perf_counter()
+        stages["compress+splice"] = t2 - t1
+        first, cache = jprefill(params, mm["embeds"], mm["attn_mask"])
+        np.asarray(first)
+        t3 = time.perf_counter()
+        stages[f"prefill ({int(np.asarray(mm['seq_len'])[0])} tok, flash)"] = t3 - t2
+        toks = jdecode(params, cache, first)
+        np.asarray(toks)
+        t4 = time.perf_counter()
+        stages[f"decode loop ({NEW} tok)"] = t4 - t3
+        ttft = t3 - t0
+        wall = t4 - t0
+        print(f"\n[{label}] {minutes:.0f}-min video, {which} int8"
+              + (f"+kv{kv_quant}" if kv_quant else ""))
+        for k, v in stages.items():
+            print(f"  {k:<34} {v*1e3:9.0f} ms")
+        print(f"  {'TTFT (video -> first token)':<34} {ttft*1e3:9.0f} ms")
+        print(f"  {'e2e wall':<34} {wall*1e3:9.0f} ms "
+              f"({minutes*60/wall:.1f}x realtime incl. answer)")
+        dec_rate = (NEW - 1) / stages[f"decode loop ({NEW} tok)"]
+        print(f"  answer tokens/s: {dec_rate:.1f}")
+
+    once("warmup (incl. compile)", 0)
+    once("steady", 1)
+
+
+if __name__ == "__main__":
+    main()

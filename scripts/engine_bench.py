@@ -1,0 +1,76 @@
+"""Continuous-batching throughput: aggregate decode tok/s at 1/2/4 slots.
+
+Drives serving.batching.DecodeEngine end-to-end (admission -> shared-slot
+prefill -> chunked lockstep decode -> harvest) with structural int8 weights
+passed as jit args (honest; PERF.md gotchas).  The per-slot marginal cost of
+lockstep decode is small at the HBM roofline (weights stream once per step
+regardless of batch), so aggregate tok/s should scale nearly linearly until
+the MXU or cache traffic saturates — this script measures where.
+
+Usage: python scripts/engine_bench.py [3b|7b] [kv8]
+"""
+import os, sys, time, dataclasses
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_tdc"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+import numpy as np, jax.numpy as jnp
+
+
+def run(which, lm_cfg, kv_quant):
+    from tdc_video_tpu import config as C
+    from tdc_video_tpu.models import lm as lm_mod
+    from tdc_video_tpu.models.quant import quantize_lm_int8
+    from tdc_video_tpu.serving.batching import DecodeEngine, Request
+
+    cfg = dataclasses.replace(C.tdc_tiny(), lm=lm_cfg)
+    shapes = jax.eval_shape(
+        lambda: lm_mod.init_lm(jax.random.PRNGKey(0), lm_cfg, dtype=jnp.bfloat16)
+    )
+    shapes = jax.eval_shape(quantize_lm_int8, shapes)
+    lm_params = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    params = {"lm": lm_params}
+
+    L, NEW = 512, 64
+    rng = np.random.default_rng(0)
+
+    def make_req(i):
+        ids = jnp.asarray(rng.integers(5, 1000, (1, L)), jnp.int32)
+        embeds = lm_mod.embed_tokens(cfg.lm, params["lm"], ids, cfg.dtype)
+        # distinct embeds per request: the axon runtime memoizes identical
+        # (executable, args) executions
+        embeds = embeds + jnp.asarray(1e-3 * (i + 1), cfg.dtype)
+        return Request(
+            embeds=embeds, attn_mask=jnp.ones((1, L), bool),
+            max_new_tokens=NEW, uid=i,
+        )
+
+    for slots in (1, 2, 4):
+        eng = DecodeEngine(
+            cfg, params, num_slots=slots, capacity=L + NEW,
+            chunk_tokens=16, attn_impl="flash", kv_quant=kv_quant,
+        )
+        # warm all compiles (prefill + chunk)
+        eng.submit(make_req(100))
+        eng.run()
+        reqs = [make_req(i) for i in range(slots)]
+        t0 = time.perf_counter()
+        for r in reqs:
+            eng.submit(r)
+        done = eng.run()
+        dt = time.perf_counter() - t0
+        n_tok = sum(len(r.tokens) for r in done)
+        kv = f"+kv{kv_quant}" if kv_quant else ""
+        print(
+            f"{which} int8{kv} slots={slots}: {n_tok} tokens in {dt*1e3:.0f} ms "
+            f"-> {n_tok/dt:.1f} tok/s aggregate ({n_tok/dt/slots:.1f}/slot)"
+        )
+
+
+if __name__ == "__main__":
+    from tdc_video_tpu import config as C
+
+    which = sys.argv[1] if len(sys.argv) > 1 else "3b"
+    lm = C.LLAMA32_3B if which == "3b" else C.QWEN2_7B
+    kv = "int8" if "kv8" in sys.argv[2:] else None
+    run(which, lm, kv)

@@ -1,0 +1,110 @@
+"""Multi-question video QA through the continuous-batching engine.
+
+Answers N questions about one video with the towers run ONCE and all
+decodes sharing one lockstep loop over KV-cache slots
+(serving/batching.py::DecodeEngine) — a serving capability the reference
+lacks entirely (its generate handles one request at a time and stashes
+vision state on `self`, tdc/language_model/cambrian_qwen.py:441-457).
+
+    python -m tdc_video_tpu.cli.serve --model_path checkpoints/TDC-Qwen2-7B \
+        --video examples/video1.mp4 --slots 4 \
+        --question "What happens first?" --question "Who appears?"
+
+Questions can also come one-per-line from --questions_file.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="TDC-Video TPU multi-question serving")
+    ap.add_argument("--model_path", required=True)
+    ap.add_argument("--model_base", default=None)
+    ap.add_argument("--model_name", default=None)
+    ap.add_argument("--video", required=True)
+    ap.add_argument("--audio", default=None)
+    ap.add_argument("--question", action="append", default=[],
+                    help="repeatable; one request per question")
+    ap.add_argument("--questions_file", default=None,
+                    help="newline-separated questions")
+    ap.add_argument("--bert_tokenizer", default="./checkpoints/bert-base-uncased")
+    ap.add_argument("--max_new_tokens", type=int, default=128)
+    ap.add_argument("--max_frames", type=int, default=1000)
+    ap.add_argument("--slots", type=int, default=4,
+                    help="concurrent KV-cache slots in the decode engine")
+    ap.add_argument("--quantize", default=None, choices=["int8", "int8-all"])
+    ap.add_argument("--kv_quant", default=None, choices=["int8"],
+                    help="int8 KV cache (halves decode HBM traffic)")
+    args = ap.parse_args(argv)
+
+    questions = list(args.question)
+    if args.questions_file:
+        with open(args.questions_file) as fh:
+            questions += [q.strip() for q in fh if q.strip()]
+    if not questions:
+        ap.error("no questions (use --question or --questions_file)")
+
+    import jax.numpy as jnp
+
+    from ..builder import load_pretrained_model
+    from ..eval.runner import TDCPredictor
+    from ..media.io import decode_video, load_audio
+
+    t0 = time.time()
+    tokenizer, model, _, _ = load_pretrained_model(
+        args.model_path, args.model_base, args.model_name, dtype=jnp.bfloat16,
+        quantize=args.quantize,
+    )
+    bert_tok = None
+    if args.bert_tokenizer:
+        try:
+            from transformers import BertTokenizer
+
+            bert_tok = BertTokenizer.from_pretrained(
+                args.bert_tokenizer, truncation_side="right"
+            )
+        except Exception:
+            pass
+    print(f"model loaded in {time.time() - t0:.1f}s")
+
+    frames, ts = decode_video(
+        args.video, fps=model.cfg.video_fps, max_frames=args.max_frames
+    )
+    print(f"video: {len(frames)} frames @ 1 fps; {len(questions)} questions, "
+          f"{args.slots} slots")
+    wav = None
+    if args.audio:
+        wav = load_audio(args.audio)
+    elif model.cfg.audio_input:
+        wav = load_audio(args.video)
+
+    predictor = TDCPredictor(
+        model.cfg,
+        model.params,
+        tokenizer,
+        bert_tokenizer=bert_tok,
+        max_new_tokens=args.max_new_tokens,
+        max_eval_frames=args.max_frames,
+    )
+    t1 = time.time()
+    answers = predictor.answer_many(
+        frames,
+        questions,
+        wav=wav,
+        frame_seconds=ts,
+        max_new_tokens=args.max_new_tokens,
+        video_uid=args.video,
+        num_slots=args.slots,
+        kv_quant=args.kv_quant,
+    )
+    dt = time.time() - t1
+    for q, a in zip(questions, answers):
+        print(f"\nQ: {q}\nA: {a}")
+    print(f"\n[{len(questions)} answers in {dt:.1f}s]")
+
+
+if __name__ == "__main__":
+    main()

@@ -351,6 +351,130 @@ class TDCPredictor:
         self.stats.model_s += t2 - t1
         return out.strip()
 
+    # -- continuous-batching surface -----------------------------------------
+
+    def _prefix_fn(self, key: Tuple[int, int, int, bool]):
+        """Jitted prepare_multimodal_from_features (prefix only): the same
+        pipeline _gen_fn runs, minus prefill/decode — the DecodeEngine
+        does those over its shared slot cache."""
+        T, L, max_vis, has_audio = key
+        ck = ("prefix",) + key
+        if ck in self._gen_cache:
+            return self._gen_cache[ck]
+        from ..model import prepare_multimodal_from_features
+
+        max_len = L + max_vis + 8
+
+        def fn(params, input_ids, image_pos, ff, df, fmask, qids, qmask, tlen,
+               tv, qp, atok):
+            return prepare_multimodal_from_features(
+                self.cfg,
+                params,
+                input_ids,
+                image_pos,
+                ff,
+                df,
+                fmask,
+                qids,
+                qmask,
+                audio_tokens=atok if has_audio else None,
+                text_len=tlen,
+                token_valid=tv,
+                query_pool=qp,
+                max_len=max_len,
+                max_visual_len=max_vis,
+            )
+
+        jfn = jax.jit(fn)
+        self._gen_cache[ck] = jfn
+        self.stats.compile_keys.append(ck)
+        return jfn
+
+    def answer_many(
+        self,
+        frames: np.ndarray,
+        questions: Sequence[str],
+        wav: Optional[np.ndarray] = None,
+        frame_seconds: Optional[np.ndarray] = None,
+        max_new_tokens: Optional[int] = None,
+        video_uid: Optional[str] = None,
+        num_slots: int = 4,
+        kv_quant: Optional[str] = None,
+    ) -> List[str]:
+        """Answer several questions about ONE video through the
+        continuous-batching DecodeEngine (serving/batching.py): the towers run
+        once, each question compresses and prefills into its own cache slot,
+        and all decodes share one lockstep loop.  Capability upgrade over the
+        reference's one-request-at-a-time generate
+        (tdc/language_model/cambrian_qwen.py:441-457)."""
+        from ..compress.aspect import frame_token_layout
+        from ..serving.batching import DecodeEngine, Request
+
+        cfg = self.cfg
+        mnt = max_new_tokens or self.max_new_tokens
+        prefixes = []
+        for question in questions:
+            ids, img_pos, qtext = self.build_text(question)
+            cap = min(budget.max_num_frames(cfg, ids, train=False), self.max_eval_frames)
+            f = frames
+            fsec = frame_seconds
+            if len(f) > cap:
+                idx = [int(len(f) / cap * i) for i in range(cap)]
+                f = f[idx]
+                if fsec is not None:
+                    fsec = fsec[idx]
+            feat_key = None if video_uid is None else (video_uid, frames.shape, min(cap, len(frames)))
+            ff, df, fmask, T = self.encode_video(f, cache_key=feat_key)
+
+            L = self.text_bucket
+            while len(ids) > L:
+                L *= 2
+            padded = np.full((L,), cfg.lm.pad_token_id, np.int32)
+            padded[: len(ids)] = ids
+            qids, qmask = self._qformer_ids(qtext)
+            atok = None
+            if wav is not None and cfg.audio_input:
+                fs = fsec if fsec is not None else np.arange(len(f))
+                atok = self.encode_audio_tokens(wav, T, fs)
+            max_vis = min(
+                budget.max_visual_len(cfg, ids),
+                T * (budget.tokens_per_frame(cfg) + 4) + 256,
+            )
+            max_vis = int(np.ceil(max_vis / 128) * 128)
+            tv, qp = frame_token_layout(cfg, f.shape[1], f.shape[2])
+            jfn = self._prefix_fn((T, L, max_vis, atok is not None))
+            mm = jfn(
+                self.params,
+                jnp.asarray(padded)[None],
+                jnp.asarray([img_pos], jnp.int32),
+                ff[None],
+                df[None],
+                jnp.asarray(fmask)[None],
+                jnp.asarray(qids)[None],
+                jnp.asarray(qmask)[None],
+                jnp.asarray([len(ids)], jnp.int32),
+                jnp.asarray(tv)[None],
+                jnp.asarray(qp)[None],
+                None if atok is None else atok[None].astype(cfg.dtype),
+            )
+            Lb = int(np.ceil(max(int(mm["seq_len"][0]), 1) / 128) * 128)
+            prefixes.append((mm["embeds"][:, :Lb], mm["attn_mask"][:, :Lb]))
+
+        capacity = int(np.ceil((max(p[0].shape[1] for p in prefixes) + mnt) / 128) * 128)
+        eng = DecodeEngine(
+            cfg,
+            self.params,
+            num_slots=min(num_slots, len(prefixes)),
+            capacity=capacity,
+            attn_impl=self.attn_impl,
+            kv_quant=kv_quant,
+        )
+        for i, (embeds, amask) in enumerate(prefixes):
+            eng.submit(Request(embeds=embeds, attn_mask=amask, max_new_tokens=mnt, uid=i))
+        done = eng.run()
+        by_uid = {r.uid: r for r in done}
+        return [self.tok.decode(by_uid[i].tokens).strip() for i in range(len(prefixes))]
+
     def answer_video(self, video_path: str, question: str, **kw) -> Optional[str]:
         """Decode + answer; None when the video is unreadable (the reference
         skips such rows, eval_mlvu.py:182-184)."""

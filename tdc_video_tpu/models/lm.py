@@ -78,14 +78,45 @@ def init_lm(key, cfg: LMConfig, dtype=jnp.float32) -> Params:
 # ---------------------------------------------------------------------------
 
 
-def init_kv_cache(cfg: LMConfig, batch: int, capacity: int, dtype=jnp.bfloat16) -> Dict:
+def init_kv_cache(
+    cfg: LMConfig, batch: int, capacity: int, dtype=jnp.bfloat16,
+    quant: Optional[str] = None,
+) -> Dict:
+    """Fixed-capacity KV cache.  quant="int8" stores K/V as int8 with
+    per-token-per-head scales: decode streams the whole cache every token, so
+    halving its bytes halves the HBM traffic that bounds decode at long
+    context (PERF.md: 7B int8 decode sits at ~90% of the bf16-KV roofline).
+    Quantization happens at write (decode/prefill scatter); the dequant
+    multiply fuses into the attention read.  Replaces the bf16 HF cache of
+    the reference decode loop (tdc/language_model/cambrian_qwen.py:150-184)."""
     shape = (cfg.num_layers, batch, capacity, cfg.num_kv_heads, cfg.head_dim)
+    if quant == "int8":
+        sshape = shape[:-1]
+        return {
+            "k": jnp.zeros(shape, jnp.int8),
+            "v": jnp.zeros(shape, jnp.int8),
+            "k_scale": jnp.zeros(sshape, jnp.float32),
+            "v_scale": jnp.zeros(sshape, jnp.float32),
+            "mask": jnp.zeros((batch, capacity), jnp.bool_),
+            "lengths": jnp.zeros((batch,), jnp.int32),
+        }
+    if quant not in (None, "none"):
+        raise ValueError(f"unknown kv quant mode {quant!r}")
     return {
         "k": jnp.zeros(shape, dtype),
         "v": jnp.zeros(shape, dtype),
         "mask": jnp.zeros((batch, capacity), jnp.bool_),  # True = valid key slot
         "lengths": jnp.zeros((batch,), jnp.int32),
     }
+
+
+def _quant_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[..., D] -> (int8 [..., D], f32 scale [...]): symmetric per-vector."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
 
 
 # ---------------------------------------------------------------------------
@@ -117,9 +148,23 @@ def _layer_forward(
     if cache_k is not None:
         # Scatter new keys/values into the cache at per-sample write positions.
         b_idx = jnp.arange(B)[:, None]
-        cache_k = cache_k.at[b_idx, write_pos].set(k.astype(cache_k.dtype))
-        cache_v = cache_v.at[b_idx, write_pos].set(v.astype(cache_v.dtype))
-        k_all, v_all = cache_k, cache_v
+        if isinstance(cache_k, tuple):  # int8 cache: (values int8, scales f32)
+            ck, ks = cache_k
+            cv, vs = cache_v
+            kq, ksc = _quant_kv(k)
+            vq, vsc = _quant_kv(v)
+            ck = ck.at[b_idx, write_pos].set(kq)
+            ks = ks.at[b_idx, write_pos].set(ksc)
+            cv = cv.at[b_idx, write_pos].set(vq)
+            vs = vs.at[b_idx, write_pos].set(vsc)
+            cache_k, cache_v = (ck, ks), (cv, vs)
+            # dequant fuses into the attention operand load: HBM streams int8
+            k_all = (ck.astype(jnp.float32) * ks[..., None]).astype(q.dtype)
+            v_all = (cv.astype(jnp.float32) * vs[..., None]).astype(q.dtype)
+        else:
+            cache_k = cache_k.at[b_idx, write_pos].set(k.astype(cache_k.dtype))
+            cache_v = cache_v.at[b_idx, write_pos].set(v.astype(cache_v.dtype))
+            k_all, v_all = cache_k, cache_v
     else:
         k_all, v_all = k, v
 
@@ -158,7 +203,23 @@ def lm_backbone(
     if remat:
         layer_fn = jax.checkpoint(layer_fn, static_argnums=())
 
-    if cache is not None:
+    if cache is not None and "k_scale" in cache:  # int8 KV cache
+
+        def body(carry, scanned):
+            h = carry
+            lp, ck, cv, ks, vs = scanned
+            h, (ck, ks), (cv, vs) = layer_fn(
+                lp, h, cos, sin, attn_mask, (ck, ks), (cv, vs), write_pos
+            )
+            return h, (ck, cv, ks, vs)
+
+        x, (nk, nv, nks, nvs) = jax.lax.scan(
+            body,
+            x,
+            (params["layers"], cache["k"], cache["v"], cache["k_scale"], cache["v_scale"]),
+        )
+        cache = dict(cache, k=nk, v=nv, k_scale=nks, v_scale=nvs)
+    elif cache is not None:
 
         def body(carry, scanned):
             h = carry

@@ -52,15 +52,18 @@ class Request:
 
 def _insert_cache(shared: Dict, one: Dict, slot: int) -> Dict:
     """Scatter a batch-1 prefilled cache into `slot` of the shared cache."""
-    L, _, S1 = one["k"].shape[:3]
+    S1 = one["k"].shape[2]
     S = shared["k"].shape[2]
     pad = S - S1
-    k = jnp.pad(one["k"], ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
-    v = jnp.pad(one["v"], ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
-    m = jnp.pad(one["mask"], ((0, 0), (0, pad)))
     out = dict(shared)
-    out["k"] = jax.lax.dynamic_update_slice(shared["k"], k, (0, slot, 0, 0, 0))
-    out["v"] = jax.lax.dynamic_update_slice(shared["v"], v, (0, slot, 0, 0, 0))
+    for key in ("k", "v"):
+        x = jnp.pad(one[key], ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
+        out[key] = jax.lax.dynamic_update_slice(shared[key], x, (0, slot, 0, 0, 0))
+    for key in ("k_scale", "v_scale"):  # int8 KV cache (models/lm.py)
+        if key in shared:
+            x = jnp.pad(one[key], ((0, 0), (0, 0), (0, pad), (0, 0)))
+            out[key] = jax.lax.dynamic_update_slice(shared[key], x, (0, slot, 0, 0))
+    m = jnp.pad(one["mask"], ((0, 0), (0, pad)))
     out["mask"] = jax.lax.dynamic_update_slice(shared["mask"], m, (slot, 0))
     out["lengths"] = shared["lengths"].at[slot].set(one["lengths"][0])
     return out
@@ -77,6 +80,7 @@ class DecodeEngine:
         capacity: int = 1024,
         chunk_tokens: int = 16,
         attn_impl: str = "xla",
+        kv_quant: Optional[str] = None,  # "int8": halve shared-cache HBM traffic
     ):
         self.cfg = cfg
         self.params = params
@@ -84,8 +88,9 @@ class DecodeEngine:
         self.capacity = capacity
         self.chunk_tokens = chunk_tokens
         self.attn_impl = attn_impl
+        self.kv_quant = kv_quant
 
-        self.cache = lm_mod.init_kv_cache(cfg.lm, num_slots, capacity, cfg.dtype)
+        self.cache = lm_mod.init_kv_cache(cfg.lm, num_slots, capacity, cfg.dtype, quant=kv_quant)
         self._requests: List[Optional[Request]] = [None] * num_slots
         self._budget = np.zeros(num_slots, np.int32)  # tokens remaining
         self._last_tok = jnp.zeros((num_slots,), jnp.int32)
@@ -100,7 +105,7 @@ class DecodeEngine:
     # -- jitted kernels -----------------------------------------------------
 
     def _prefill_one(self, params, embeds, attn_mask, L):
-        cache1 = lm_mod.init_kv_cache(self.cfg.lm, 1, L, self.cfg.dtype)
+        cache1 = lm_mod.init_kv_cache(self.cfg.lm, 1, L, self.cfg.dtype, quant=self.kv_quant)
         logits, cache1 = lm_mod.prefill(
             self.cfg.lm, params["lm"], embeds, attn_mask, cache1,
             attn_impl=self.attn_impl, dtype=self.cfg.dtype,

@@ -152,6 +152,7 @@ def generate(
     top_p: float = 1.0,
     key: Optional[jnp.ndarray] = None,
     attn_impl: str = "xla",
+    kv_quant: Optional[str] = None,  # "int8": halve KV-cache HBM traffic
 ) -> jnp.ndarray:
     """End-to-end multimodal generation (the reference main.py:60 round trip).
     Returns generated token ids [B, max_new_tokens]."""
@@ -175,7 +176,7 @@ def generate(
     )
     B = input_ids.shape[0]
     capacity = max_len + max_new_tokens
-    cache = lm_mod.init_kv_cache(cfg.lm, B, capacity, dtype=cfg.dtype)
+    cache = lm_mod.init_kv_cache(cfg.lm, B, capacity, dtype=cfg.dtype, quant=kv_quant)
     # Right-pack: embeds are already left-aligned with right padding.
     logits, cache = lm_mod.prefill(
         cfg.lm, params["lm"], mm["embeds"], mm["attn_mask"], cache, attn_impl=attn_impl, dtype=cfg.dtype
@@ -206,11 +207,12 @@ def generate_text_only(
     top_p: float = 1.0,
     key: Optional[jnp.ndarray] = None,
     attn_impl: str = "xla",
+    kv_quant: Optional[str] = None,  # "int8": halve KV-cache HBM traffic
 ) -> jnp.ndarray:
     """Text-only generation (parity harness vs HF and text-only eval rows)."""
     B, L = input_ids.shape
     embeds = lm_mod.embed_tokens(cfg.lm, params["lm"], input_ids, cfg.dtype)
-    cache = lm_mod.init_kv_cache(cfg.lm, B, L + max_new_tokens, dtype=cfg.dtype)
+    cache = lm_mod.init_kv_cache(cfg.lm, B, L + max_new_tokens, dtype=cfg.dtype, quant=kv_quant)
     logits, cache = lm_mod.prefill(
         cfg.lm, params["lm"], embeds, attention_mask, cache, attn_impl=attn_impl, dtype=cfg.dtype
     )
@@ -242,6 +244,7 @@ def generate_encoded(
     top_p: float = 1.0,
     key: Optional[jnp.ndarray] = None,
     attn_impl: str = "xla",
+    kv_quant: Optional[str] = None,  # "int8": halve KV-cache HBM traffic
 ) -> jnp.ndarray:
     """Generation over PRE-ENCODED frames: the towers run once per video,
     compression + prefill re-run per question (text-conditioned Q-Former).
@@ -267,7 +270,7 @@ def generate_encoded(
         max_visual_len=max_visual_len,
     )
     B = input_ids.shape[0]
-    cache = lm_mod.init_kv_cache(cfg.lm, B, max_len + max_new_tokens, dtype=cfg.dtype)
+    cache = lm_mod.init_kv_cache(cfg.lm, B, max_len + max_new_tokens, dtype=cfg.dtype, quant=kv_quant)
     logits, cache = lm_mod.prefill(
         cfg.lm, params["lm"], mm["embeds"], mm["attn_mask"], cache, attn_impl=attn_impl, dtype=cfg.dtype
     )

@@ -57,6 +57,9 @@ class TrainConfig:
     max_steps: Optional[int] = None
     grad_clip: float = 1.0
     seed: int = 42
+    # host/device overlap: batches buffered ahead by the fit() prefetch
+    # thread (the reference's dataloader_num_workers analog, train.py:1236)
+    prefetch_batches: int = 2
 
     # per-module LRs (mm_trainer.py:262-263: projector/sampler mutually excl.)
     mm_projector_lr: Optional[float] = None
@@ -354,7 +357,12 @@ class Trainer:
             out[k] = np.concatenate([np.asarray(v), pad], axis=0)
         return out
 
-    def train_step(self, batch: Dict[str, np.ndarray]) -> float:
+    def train_step(self, batch: Dict[str, np.ndarray]) -> jnp.ndarray:
+        """One optimizer step.  Returns the DEVICE-RESIDENT loss scalar:
+        fetching it (float()) forces a host sync, so the training loop only
+        materializes it every `logging_steps` — JAX async dispatch then
+        pipelines consecutive steps without the per-step round trip the
+        reference's loss.item() incurs (mm_trainer.py training loop)."""
         batch = self._pad_batch(batch)
         if self._jstep is None:
             self._jstep, self._b_spec = self._make_step(batch)
@@ -372,7 +380,7 @@ class Trainer:
             self.lora = opt_params["lora"]
             self.params.update(opt_params["extra"])
         self.step += 1
-        return float(loss)
+        return loss
 
     # -- logging / checkpointing ----------------------------------------------
 
@@ -461,13 +469,44 @@ class Trainer:
     # -- loop -------------------------------------------------------------------
 
     def fit(self, batches: Iterator[Dict[str, np.ndarray]]):
+        """Training loop with host/device overlap: a prefetch thread runs the
+        input pipeline (video decode, tokenization, padding — the expensive
+        host work inside `batches`) while the device executes the current
+        step, and the loss is only fetched at logging_steps.  This is the
+        TPU-side equivalent of the reference's DataLoader worker processes
+        (/root/reference/tdc/train.py:1236-1264)."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=max(1, self.tcfg.prefetch_batches))
+        END = object()
+        err: list = []
+
+        def producer():
+            try:
+                for b in batches:
+                    q.put(self._pad_batch(b))
+            except BaseException as e:  # surface pipeline errors in the main thread
+                err.append(e)
+            finally:
+                q.put(END)
+
+        threading.Thread(target=producer, daemon=True).start()
+
         t0 = time.time()
-        for batch in batches:
+        loss = None
+        while True:
+            batch = q.get()
+            if batch is END:
+                if err:
+                    raise err[0]
+                break
             if self.tcfg.max_steps and self.step >= self.tcfg.max_steps:
                 break
             loss = self.train_step(batch)
             if self.step % self.tcfg.logging_steps == 0:
-                self.log({"loss": loss, "steps_per_s": self.step / max(time.time() - t0, 1e-9)})
+                # the only per-N-steps host sync
+                self.log({"loss": float(loss), "steps_per_s": self.step / max(time.time() - t0, 1e-9)})
             if self.step % self.tcfg.save_steps == 0:
                 self.save()
         self.save()

@@ -278,3 +278,36 @@ class TestActivationDiff:
         for k in ("siglip_feats", "dino_feats", "frame_feats", "boundaries", "visual"):
             assert k in z.files
         assert main(["diff", out, out]) == 0
+
+
+@pytest.mark.slow
+class TestAnswerMany:
+    def test_multi_question_engine_matches_solo(self, tmp_path):
+        """answer_many routes N questions through the continuous-batching
+        DecodeEngine; greedy answers must match the single-question path."""
+        import numpy as np
+
+        from tdc_video_tpu.builder import load_pretrained_model
+        from tdc_video_tpu.eval.runner import TDCPredictor
+        from tdc_video_tpu.config import tdc_tiny
+        from test_builder import write_checkpoint
+
+        ckpt = str(tmp_path / "ckpt")
+        write_checkpoint(ckpt, tdc_tiny(), audio=False)
+        _, model, _, _ = load_pretrained_model(ckpt, load_tokenizer=False)
+
+        rng = np.random.default_rng(0)
+        frames = rng.integers(0, 255, (5, 48, 64, 3)).astype(np.uint8)
+        questions = ["How many objects?", "What color dominates?", "What happens last?"]
+
+        predictor = TDCPredictor(
+            model.cfg, model.params, SimpleTokenizer(), max_new_tokens=4,
+            text_bucket=128,
+        )
+        batched = predictor.answer_many(
+            frames, questions, video_uid="v1", num_slots=2
+        )
+        solo = [
+            predictor.answer(frames, q, video_uid="v1") for q in questions
+        ]
+        assert batched == solo

@@ -165,3 +165,62 @@ class TestInt8Towers:
         assert model.params["lm"]["layers"]["q_proj"]["w_q"].dtype == jnp.int8
         # the SVA connector and Q-Former stay float (3% of pipeline time)
         assert "w" in model.params["sva"]["mm_projector"]["fc1"]
+
+
+class TestInt8KVCache:
+    """int8 KV cache (models/lm.py init_kv_cache(quant="int8")): decode
+    streams the cache every token, so int8 halves its HBM traffic.  Replaces
+    the bf16 HF cache of the reference decode loop
+    (tdc/language_model/cambrian_qwen.py:150-184)."""
+
+    def test_greedy_agreement_vs_bf16_kv(self):
+        from tdc_video_tpu.config import tdc_tiny
+        from tdc_video_tpu.serving.generate import generate_text_only
+
+        cfg = tdc_tiny()
+        params = {"lm": lm_mod.init_lm(jax.random.PRNGKey(0), cfg.lm, dtype=jnp.float32)}
+        rng = np.random.default_rng(5)
+        ids = jnp.asarray(rng.integers(2, cfg.lm.vocab_size, (2, 12)), jnp.int32)
+        mask = jnp.ones(ids.shape, jnp.bool_)
+        ref = generate_text_only(cfg, params, ids, mask, max_new_tokens=10)
+        got = generate_text_only(cfg, params, ids, mask, max_new_tokens=10, kv_quant="int8")
+        ref, got = np.asarray(ref), np.asarray(got)
+        agree = (ref == got).mean()
+        assert agree >= 0.8, (agree, ref, got)
+
+    def test_prefill_logits_drift_bounded(self):
+        cfg = _cfg()
+        params = lm_mod.init_lm(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        rng = np.random.default_rng(6)
+        ids = jnp.asarray(rng.integers(2, cfg.vocab_size, (2, 16)), jnp.int32)
+        mask = jnp.ones(ids.shape, jnp.bool_)
+        embeds = lm_mod.embed_tokens(cfg, params, ids, jnp.float32)
+        ref_logits, _ = lm_mod.prefill(
+            cfg, params, embeds, mask, lm_mod.init_kv_cache(cfg, 2, 16, jnp.float32),
+            dtype=jnp.float32,
+        )
+        got_logits, qcache = lm_mod.prefill(
+            cfg, params, embeds, mask, lm_mod.init_kv_cache(cfg, 2, 16, quant="int8"),
+            dtype=jnp.float32,
+        )
+        assert qcache["k"].dtype == jnp.int8
+        ref_l, got_l = np.asarray(ref_logits), np.asarray(got_logits)
+        rel = np.abs(ref_l - got_l).max() / np.abs(ref_l).max()
+        assert rel < 0.05, rel
+
+    def test_engine_with_int8_kv(self):
+        from tdc_video_tpu.config import tdc_tiny
+        from tdc_video_tpu.model import init_tdc
+        from tdc_video_tpu.serving.batching import DecodeEngine, Request
+
+        cfg = tdc_tiny()
+        params = init_tdc(jax.random.PRNGKey(0), cfg)
+        eng = DecodeEngine(cfg, params, num_slots=2, capacity=32, chunk_tokens=4,
+                           kv_quant="int8")
+        rng = np.random.default_rng(9)
+        ids = rng.integers(2, 50, (1, 6)).astype(np.int32)
+        embeds = lm_mod.embed_tokens(cfg.lm, params["lm"], jnp.asarray(ids), cfg.dtype)
+        eng.submit(Request(embeds=embeds, attn_mask=jnp.ones(ids.shape, bool),
+                           max_new_tokens=5, uid="q"))
+        done = eng.run()
+        assert len(done) == 1 and 1 <= len(done[0].tokens) <= 5

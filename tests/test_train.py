@@ -273,3 +273,67 @@ class TestFrozenGradClip:
         )
         for f in frozen:
             assert float(jnp.abs(f).max()) == 0.0
+
+
+class TestPrefetchFit:
+    def test_fit_overlaps_and_logs(self, tmp_path):
+        """fit() drives the prefetch-thread input pipeline to completion and
+        logs deferred (device-resident) losses at logging_steps."""
+        from tdc_video_tpu.config import tdc_tiny
+
+        cfg = tdc_tiny()
+        params = init_tdc(jax.random.PRNGKey(0), cfg)
+        tcfg = TrainConfig(
+            output_dir=str(tmp_path),
+            max_steps=3,
+            logging_steps=1,
+            save_steps=100,
+            gradient_accumulation_steps=1,
+            model_max_length=128,
+            max_visual_len=64,
+            report_to="jsonl",
+            prefetch_batches=2,
+        )
+        tr = Trainer(cfg, tcfg, params, total_steps=3)
+        produced = []
+
+        def gen():
+            for i in range(10):  # more than max_steps: fit must stop at 3
+                produced.append(i)
+                yield _batch(cfg)
+
+        tr.fit(gen())
+        assert tr.step == 3
+        import json as _json
+
+        lines = [
+            _json.loads(l)
+            for l in open(tmp_path / "metrics.jsonl")
+            if l.strip()
+        ]
+        assert len(lines) >= 3
+        assert all(np.isfinite(l["loss"]) for l in lines)
+        # the prefetch thread ran ahead of the consumed steps (bounded buffer)
+        assert len(produced) >= 3
+
+    def test_fit_propagates_pipeline_errors(self, tmp_path):
+        from tdc_video_tpu.config import tdc_tiny
+
+        cfg = tdc_tiny()
+        params = init_tdc(jax.random.PRNGKey(0), cfg)
+        tcfg = TrainConfig(
+            output_dir=str(tmp_path),
+            max_steps=10,
+            save_steps=100,
+            gradient_accumulation_steps=1,
+            model_max_length=128,
+            max_visual_len=64,
+        )
+        tr = Trainer(cfg, tcfg, params, total_steps=10)
+
+        def gen():
+            yield _batch(cfg)
+            raise RuntimeError("corrupt shard")
+
+        with pytest.raises(RuntimeError, match="corrupt shard"):
+            tr.fit(gen())
