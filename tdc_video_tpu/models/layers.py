@@ -46,27 +46,41 @@ def init_linear(key, d_in, d_out, dtype, bias=True, stddev=None):
     return p
 
 
-def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray) -> jnp.ndarray:
-    """Dynamic-activation-quantized int8 matmul on the MXU.
-
-    Per-row (per-token) symmetric quantization of `x` to int8, then a native
-    s8 x s8 -> s32 dot (the v5e MXU runs int8 at ~2x bf16 throughput), then
-    the row and column scales applied to the s32 product.  This is the
-    AQT-style serving recipe: per-token activation scales bound the
-    quantization error of outlier tokens without per-channel act statistics.
-
-    x: [..., D] float; w_q: int8 [D, F]; w_scale: f32 [F].  Returns x.dtype.
-    """
+def int8_qact(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row (per-token) symmetric int8 quantization of activations:
+    [..., D] float -> (int8 [..., D], f32 scale [..., 1]).  Kept separate
+    from the dot so one quantization feeds every consumer of the same
+    activation (q/k/v share their LN output — 1 amax+round instead of 3)."""
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
     x_scale = jnp.maximum(amax / 127.0, 1e-8)
     x_q = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
+    return x_q, x_scale
+
+
+def int8_dot(
+    x_q: jnp.ndarray, x_scale: jnp.ndarray, p: Params, out_dtype
+) -> jnp.ndarray:
+    """s8 x s8 -> s32 dot on the MXU (~2x bf16 throughput on v5e) with the
+    row and column scales applied to the s32 product; bias in out_dtype."""
     y = jax.lax.dot_general(
-        x_q, w_q, (((x_q.ndim - 1,), (0,)), ((), ())),
+        x_q, p["w_q"], (((x_q.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    y = y.astype(jnp.float32) * x_scale * w_scale
-    return y.astype(x.dtype)
+    y = y.astype(jnp.float32) * x_scale * p["w_scale"].astype(jnp.float32)
+    y = y.astype(out_dtype)
+    if "b" in p:
+        y = y + p["b"].astype(out_dtype)
+    return y
+
+
+def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray) -> jnp.ndarray:
+    """Dynamic-activation-quantized int8 matmul (quantize + dot in one call).
+    This is the AQT-style serving recipe: per-token activation scales bound
+    the quantization error of outlier tokens without per-channel act
+    statistics.  x: [..., D] float; w_q: int8 [D, F]; w_scale: f32 [F]."""
+    x_q, x_scale = int8_qact(x)
+    return int8_dot(x_q, x_scale, {"w_q": w_q, "w_scale": w_scale}, x.dtype)
 
 
 def linear(p: Params, x: jnp.ndarray, dtype=None, act_quant: bool = False) -> jnp.ndarray:

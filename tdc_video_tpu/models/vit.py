@@ -28,6 +28,8 @@ from .attention import attention
 from .layers import (
     init_layer_norm,
     init_linear,
+    int8_dot,
+    int8_qact,
     layer_norm,
     linear,
     normal_init,
@@ -112,11 +114,20 @@ def _layer_forward(cfg: ViTConfig, p: Params, x: jnp.ndarray, attn_impl: str):
     # act_quant: when the tower is int8-quantized (models/quant.py
     # quantize_vit_int8) the projections run s8 x s8 on the MXU with
     # per-token dynamic activation scales; a no-op for float weights.
+    # q/k/v consume ONE shared quantization of the LN output (the separate
+    # per-call amax+round was 3x the elementwise/HBM cost for nothing).
     lin = functools.partial(linear, act_quant=True)
+    int8 = "w_q" in p["q_proj"]
     h = layer_norm(p["norm1"], x, cfg.layer_norm_eps)
-    q = lin(p["q_proj"], h).reshape(B, N, nh, hd)
-    k = lin(p["k_proj"], h).reshape(B, N, nh, hd)
-    v = lin(p["v_proj"], h).reshape(B, N, nh, hd)
+    if int8:
+        hq, hs = int8_qact(h)
+        q = int8_dot(hq, hs, p["q_proj"], x.dtype).reshape(B, N, nh, hd)
+        k = int8_dot(hq, hs, p["k_proj"], x.dtype).reshape(B, N, nh, hd)
+        v = int8_dot(hq, hs, p["v_proj"], x.dtype).reshape(B, N, nh, hd)
+    else:
+        q = lin(p["q_proj"], h).reshape(B, N, nh, hd)
+        k = lin(p["k_proj"], h).reshape(B, N, nh, hd)
+        v = lin(p["v_proj"], h).reshape(B, N, nh, hd)
     a = attention(q, k, v, impl=attn_impl).reshape(B, N, D)
     a = lin(p["o_proj"], a)
     if cfg.layerscale:

@@ -115,6 +115,10 @@ def _full_attention_kernel(
     q = q_ref[:].astype(jnp.float32) * scale
     k = k_ref[:].astype(jnp.float32)
     v = v_ref[:].astype(jnp.float32)
+    # Padded v rows may hold arbitrary bits (implicit edge padding on the
+    # inference path); zero them so 0-weight x NaN cannot poison the PV dot.
+    vrow = jax.lax.broadcasted_iota(jnp.int32, (nb, s_pad, 1), 1)
+    v = jnp.where(vrow < kv_len, v, 0.0)
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )  # [NB, S, S]
@@ -130,12 +134,18 @@ def _full_attention_kernel(
     lse_ref[:] = m + jnp.log(jnp.maximum(l, 1e-30))
 
 
-def _flash_full(q, k, v, scale, groups):
-    """Dispatch wrapper for the batched full-attention kernel."""
+def _flash_full(q, k, v, scale, groups, pad_inputs=True):
+    """Dispatch wrapper for the batched full-attention kernel.
+
+    pad_inputs=False (inference) relies on Mosaic's implicit edge padding of
+    the partial tail block instead of explicit HBM pad ops (the kernel masks
+    padded k columns and zeroes padded v rows).  The training path keeps
+    explicit zero pads: the backward kernels require padded do rows to be
+    exactly zero."""
     B, Hq, T, D = q.shape
     S = k.shape[2]
     s_pad = pl.cdiv(S, 128) * 128
-    if s_pad != S:
+    if s_pad != S and pad_inputs:
         pad = ((0, 0), (0, 0), (0, s_pad - S), (0, 0))
         q = jnp.pad(q, pad)
         k = jnp.pad(k, pad)
@@ -168,6 +178,119 @@ def _flash_full(q, k, v, scale, groups):
     return out[:, :, :T], lse
 
 
+def _nhd_head_block(head_dim: int) -> int:
+    """Heads per lane-block: smallest hb with hb*D lane-legal (128k)."""
+    hb = 1
+    while (hb * head_dim) % 128 != 0:
+        hb *= 2
+    return hb
+
+
+def _full_attention_nhd_kernel(
+    q_ref,  # [NB, S_pad, HB*D] (lane-sliced from the packed [B, N, H*D])
+    k_ref,
+    v_ref,
+    o_ref,  # [NB, S_pad, HB*D]
+    *,
+    scale: float,
+    kv_len: int,
+    head_dim: int,
+):
+    """Layout-native variant of _full_attention_kernel: consumes q/k/v in
+    the NATURAL packed [B, N, H*D] projection layout (lane-dim head blocks),
+    so XLA emits no [B,N,H,D]->[B,H,N,D] transposes and no pad-to-128 ops
+    around the attention (profiled at ~2.5x the kernel's own cost in the
+    int8 towers).  The kernel loops the block's heads statically, one [S,S]
+    f32 score at a time in VMEM.  The tail partial token block (N=729/730 vs
+    768) uses Mosaic's implicit edge padding; padded k columns are masked in
+    the score and padded v rows are zeroed (their pad bits may be NaN)."""
+    nb, s_pad, hd_tot = q_ref.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (nb, s_pad, 1), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (nb, s_pad, s_pad), 2)
+    for j in range(hd_tot // head_dim):
+        sl = pl.ds(j * head_dim, head_dim)
+        q = q_ref[:, :, sl].astype(jnp.float32) * scale
+        k = k_ref[:, :, sl].astype(jnp.float32)
+        v = v_ref[:, :, sl].astype(jnp.float32)
+        v = jnp.where(row < kv_len, v, 0.0)
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )  # [NB, S, S]
+        s = jnp.where(col < kv_len, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        o_ref[:, :, sl] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _flash_full_nhd_fwd(q, k, v, scale, groups):
+    B, S, Hq, D = q.shape
+    hb = _nhd_head_block(D)
+    s_pad = pl.cdiv(S, 128) * 128
+    nb = 1
+    if B % 2 == 0 and 2 * s_pad * s_pad * 4 <= 8 * 1024 * 1024:
+        nb = 2
+    grid = (B // nb, Hq // hb)
+    qp = q.reshape(B, S, Hq * D)
+    kp = k.reshape(B, S, Hq * D)
+    vp = v.reshape(B, S, Hq * D)
+    out = pl.pallas_call(
+        functools.partial(
+            _full_attention_nhd_kernel, scale=scale, kv_len=S, head_dim=D
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nb, s_pad, hb * D), lambda b, h: (b, 0, h)),
+            pl.BlockSpec((nb, s_pad, hb * D), lambda b, h: (b, 0, h)),
+            pl.BlockSpec((nb, s_pad, hb * D), lambda b, h: (b, 0, h)),
+        ],
+        out_specs=pl.BlockSpec((nb, s_pad, hb * D), lambda b, h: (b, 0, h)),
+        out_shape=jax.ShapeDtypeStruct((B, S, Hq * D), q.dtype),
+        interpret=INTERPRET,
+    )(qp, kp, vp)
+    return out.reshape(B, S, Hq, D)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash_full_nhd(q, k, v, scale, groups):
+    """Non-causal full attention in [B, N, H, D] layout (ViT towers)."""
+    return _flash_full_nhd_fwd(q, k, v, scale, groups)
+
+
+def _flash_full_nhd_vjp_fwd(q, k, v, scale, groups):
+    return _flash_full_nhd_fwd(q, k, v, scale, groups), (q, k, v)
+
+
+def _flash_full_nhd_vjp_bwd(scale, groups, res, do):
+    # Training path: route through the BHTD kernels (transposes acceptable
+    # off the serving hot path); flash bwd is recompute-based anyway.
+    q, k, v = res
+    S = q.shape[1]
+    block = max(128, pl.cdiv(S, 128) * 128)
+
+    def f(q_, k_, v_):
+        out = _flash_core(
+            q_.transpose(0, 2, 1, 3),
+            k_.transpose(0, 2, 1, 3),
+            v_.transpose(0, 2, 1, 3),
+            False,
+            scale,
+            block,
+            block,
+            groups,
+        )
+        return out.transpose(0, 2, 1, 3)
+
+    _, vjp = jax.vjp(f, q, k, v)
+    return vjp(do)
+
+
+_flash_full_nhd.defvjp(_flash_full_nhd_vjp_fwd, _flash_full_nhd_vjp_bwd)
+
+
 def _flash_gqa(
     q: jnp.ndarray,  # [B, Hq, T, D]
     k: jnp.ndarray,  # [B, Hkv, S, D]
@@ -177,11 +300,12 @@ def _flash_gqa(
     block_q: int,
     block_k: int,
     groups: int,
+    pad_inputs: bool = True,
 ) -> jnp.ndarray:
     B, Hq, T, D = q.shape
     S = k.shape[2]
     if not causal and T == S and S <= 1024:
-        return _flash_full(q, k, v, scale, groups)
+        return _flash_full(q, k, v, scale, groups, pad_inputs=pad_inputs)
     t_pad = pl.cdiv(T, block_q) * block_q
     s_pad = pl.cdiv(S, block_k) * block_k
     if t_pad != T:
@@ -444,8 +568,10 @@ def _flash_gqa_bwd(
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def _flash_core(q, k, v, causal, scale, block_q, block_k, groups):
+    # primal (no-grad) path: implicit edge padding, no HBM pad ops
     out, _ = _flash_gqa(
-        q, k, v, causal=causal, scale=scale, block_q=block_q, block_k=block_k, groups=groups
+        q, k, v, causal=causal, scale=scale, block_q=block_q, block_k=block_k,
+        groups=groups, pad_inputs=False,
     )
     return out
 
@@ -493,6 +619,17 @@ def flash_attention(
         raise NotImplementedError("arbitrary masks use the XLA path")
     if scale is None:
         scale = 1.0 / math.sqrt(D)
+
+    if (
+        not causal and T == S and S <= 1024
+        and Hq == Hkv and Hq % _nhd_head_block(D) == 0
+        and _nhd_head_block(D) * D <= 256
+        # lane-block must stay narrow or the operand blocks blow VMEM
+        # (D=72 -> whole-1152 blocks OOM at 27M; that case keeps the
+        # transposed path)
+    ):
+        # ViT-tower full attention: layout-native kernel, no transposes/pads
+        return _flash_full_nhd(q, k, v, scale, 1)
 
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
