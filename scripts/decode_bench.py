@@ -16,7 +16,7 @@ def run(name, lm_cfg, quant, kv_quant=None):
     from tdc_video_tpu.serving.generate import decode_loop
     from tdc_video_tpu.models.quant import quantize_lm_int8
 
-    cfg = dataclasses.replace(C.tdc_tiny(), lm=lm_cfg)
+    cfg = dataclasses.replace(C.tdc_tiny(), lm=lm_cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
     shapes = jax.eval_shape(lambda: lm_mod.init_lm(jax.random.PRNGKey(0), lm_cfg, dtype=jnp.bfloat16))
     if quant:
         # structural zeros of the QUANTIZED tree directly: materializing the
@@ -26,7 +26,9 @@ def run(name, lm_cfg, quant, kv_quant=None):
     lm_params = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
     params = {"lm": lm_params}
 
-    B, L, NEW = 1, 512, 64
+    B = 1
+    L = int(os.environ.get("TDC_DECODE_L", "512"))
+    NEW = 64
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(5, 1000, (B, L)), jnp.int32)
 

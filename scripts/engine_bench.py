@@ -23,7 +23,7 @@ def run(which, lm_cfg, kv_quant):
     from tdc_video_tpu.models.quant import quantize_lm_int8
     from tdc_video_tpu.serving.batching import DecodeEngine, Request
 
-    cfg = dataclasses.replace(C.tdc_tiny(), lm=lm_cfg)
+    cfg = dataclasses.replace(C.tdc_tiny(), lm=lm_cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
     shapes = jax.eval_shape(
         lambda: lm_mod.init_lm(jax.random.PRNGKey(0), lm_cfg, dtype=jnp.bfloat16)
     )

@@ -176,10 +176,78 @@ def qformer():
     )
 
 
+def compression():
+    """Full TDC compression emission at T=64 with audio: locks the
+    emission-order surface (static+sep / per-chunk K+sep layout, budget
+    clamp, ragged tail) against refactors of compress/tdc.py.  No torch —
+    the fixture pins our own batched implementation, cross-checked against
+    the numpy reference-loop oracle at save time
+    (tests/test_compress.py::_oracle_compress)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tdc_video_tpu.compress import tdc as tdc_mod
+    from tdc_video_tpu.config import tdc_tiny
+    from test_compress import _oracle_compress
+
+    cfg = tdc_tiny(audio=True)
+    params = tdc_mod.init_compressor(jax.random.PRNGKey(7), cfg)
+    rng = np.random.default_rng(7)
+    T, P, H = 64, 6, cfg.lm.hidden_size
+    frames = rng.normal(size=(T, P, H)).astype(np.float32)
+    aud = rng.normal(size=(T, 3, H)).astype(np.float32)
+    boundary = np.zeros(T, bool)
+    boundary[[0, 9, 17, 40, 41, 55]] = True
+    n_valid = 60  # ragged tail: frames 60..63 masked
+    mask = np.arange(T) < n_valid
+    text_ids = np.array([5, 9, 2, 11], np.int32)
+    text_mask = np.ones(4, bool)
+    max_visual = 768
+
+    got, n_vis = tdc_mod.compress_video(
+        cfg,
+        params,
+        jnp.asarray(frames),
+        jnp.asarray(mask),
+        jnp.asarray(boundary),
+        jnp.asarray(text_ids),
+        jnp.asarray(text_mask),
+        jnp.asarray(aud),
+        max_visual_len=max_visual,
+    )
+    ref = _oracle_compress(
+        cfg,
+        jax.tree_util.tree_map(np.asarray, params),
+        frames[:n_valid],
+        boundary[:n_valid],
+        text_ids,
+        text_mask,
+        aud[:n_valid],
+        max_visual,
+    )
+    n_vis = int(n_vis)
+    assert n_vis == len(ref), (n_vis, len(ref))
+    np.testing.assert_allclose(np.asarray(got)[:n_vis], ref, rtol=2e-5, atol=2e-5)
+
+    leaves, _ = jax.tree_util.tree_flatten(params)
+    sd = {f"{i:04d}": np.asarray(l) for i, l in enumerate(leaves)}
+    _save(
+        "compression",
+        sd,
+        {
+            "frames": frames, "audio": aud, "boundary": boundary,
+            "mask": mask, "text_ids": text_ids, "text_mask": text_mask,
+        },
+        {"emission": np.asarray(got)[:n_vis], "n_visual": np.asarray(n_vis)},
+        {"seed": 7, "max_visual": max_visual, "audio": True, "T": T},
+    )
+
+
 if __name__ == "__main__":
     siglip()
     dinov2()
     lm("qwen2")
     lm("llama")
     qformer()
+    compression()
     print("golden fixtures written to", OUT)

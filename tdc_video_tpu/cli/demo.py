@@ -26,8 +26,10 @@ def main(argv=None):
     ap.add_argument("--max_new_tokens", type=int, default=128)
     ap.add_argument("--max_frames", type=int, default=1000)
     ap.add_argument("--temperature", type=float, default=0.0)
+    ap.add_argument("--kv_quant", default=None, choices=["int8"],
+                    help="int8 KV cache (halves cache footprint/traffic)")
     ap.add_argument(
-        "--quantize", default=None, choices=["int8"],
+        "--quantize", default=None, choices=["int8", "int8-all"],
         help="weight-only int8 LM (TPU-native replacement for the reference's "
         "bnb 4/8-bit loading; ~2x decode throughput)",
     )
@@ -80,6 +82,7 @@ def main(argv=None):
         bert_tokenizer=bert_tok,
         max_new_tokens=args.max_new_tokens,
         max_eval_frames=args.max_frames,
+        kv_quant=args.kv_quant,
     )
     t1 = time.time()
     import contextlib

@@ -202,6 +202,13 @@ def run_benchmark(
     records = allgather_records(records)
     metrics = accuracy_by_task(records)
     dump_results(records, metrics, os.path.join(out_dir, name.upper()), name)
+    # WAL GC: every record is now in outputs-*.json, so the crash-resume
+    # log has served its purpose; a stale WAL would seed a future run of
+    # the same out_dir with old answers.
+    try:
+        os.remove(wal_path)
+    except OSError:
+        pass
 
     if name == "egoschema":  # Kaggle CSV (eval/README.md:27)
         import jax

@@ -86,6 +86,7 @@ class TDCPredictor:
         text_bucket: int = 512,
         attn_impl: str = "flash",
         device_preprocess: bool = False,
+        kv_quant=None,  # "int8": quantized KV cache for the decode loops
     ):
         self.cfg = cfg
         self.params = params
@@ -95,6 +96,7 @@ class TDCPredictor:
         self.max_eval_frames = max_eval_frames
         self.text_bucket = text_bucket
         self.attn_impl = attn_impl
+        self.kv_quant = kv_quant
         # False = PIL host path (bit-parity with the reference's processor
         # chain); True = pad/resize/normalize on-device (faster on weak hosts,
         # numerics within tolerance — tests/test_data.py::TestDevicePreprocess)
@@ -149,6 +151,7 @@ class TDCPredictor:
                 max_len=max_len,
                 max_visual_len=max_vis,
                 attn_impl=self.attn_impl,
+                kv_quant=self.kv_quant,
             )
 
         jfn = jax.jit(fn)
@@ -467,7 +470,7 @@ class TDCPredictor:
             num_slots=min(num_slots, len(prefixes)),
             capacity=capacity,
             attn_impl=self.attn_impl,
-            kv_quant=kv_quant,
+            kv_quant=kv_quant or self.kv_quant,
         )
         for i, (embeds, amask) in enumerate(prefixes):
             eng.submit(Request(embeds=embeds, attn_mask=amask, max_new_tokens=mnt, uid=i))

@@ -246,6 +246,42 @@ def sdpa(
     return out.reshape(B, T, Hq, D)
 
 
+def sdpa_int8kv(
+    q: jnp.ndarray,  # [B, T, Hq, D]
+    k_q: jnp.ndarray,  # [B, S, Hkv, D] int8
+    k_scale: jnp.ndarray,  # [B, S, Hkv] f32
+    v_q: jnp.ndarray,  # [B, S, Hkv, D] int8
+    v_scale: jnp.ndarray,  # [B, S, Hkv] f32
+    mask: Optional[jnp.ndarray] = None,  # broadcastable to [B, Hq, T, S]
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """GQA attention reading an int8 KV cache WITHOUT materializing the
+    dequantized cache: the per-token-per-head scales commute out of the
+    contraction over D, so they apply to the scores (k) and to the softmax
+    probs (v) instead.  The int8->bf16 convert then fuses into the dot's
+    operand load and HBM streams int8 bytes — materializing
+    `k_q.astype(bf16) * scale` as a tensor would WRITE+READ a full bf16
+    cache every decode step and run slower than a bf16 cache (measured:
+    70 vs 79 tok/s at 6k, PERF.md)."""
+    B, T, Hq, D = q.shape
+    S, Hkv = k_q.shape[1], k_q.shape[2]
+    if scale is None:
+        scale = 1.0 / math.sqrt(D)
+    group = Hq // Hkv
+    qg = q.reshape(B, T, Hkv, group, D)
+    logits = jnp.einsum(
+        "bthgd,bshd->bhgts", qg, k_q.astype(q.dtype), preferred_element_type=jnp.float32
+    )
+    logits = logits * (scale * k_scale.transpose(0, 2, 1))[:, :, None, None, :]
+    if mask is not None:
+        m = jnp.broadcast_to(mask, (B, Hq, T, S)).reshape(B, Hkv, group, T, S)
+        logits = jnp.where(m, logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1)
+    pv = probs * v_scale.transpose(0, 2, 1)[:, :, None, None, :]
+    out = jnp.einsum("bhgts,bshd->bthgd", pv.astype(q.dtype), v_q.astype(q.dtype))
+    return out.reshape(B, T, Hq, D)
+
+
 def make_causal_mask(T: int, S: int, offset: int = 0) -> jnp.ndarray:
     """[T, S] boolean mask; query i attends keys j <= i + offset."""
     qi = jax.lax.broadcasted_iota(jnp.int32, (T, S), 0)

@@ -145,32 +145,43 @@ def _layer_forward(
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
-    if cache_k is not None:
-        # Scatter new keys/values into the cache at per-sample write positions.
+    if cache_k is not None and isinstance(cache_k, tuple):
+        # int8 cache: (values int8, scales f32).  Quantize at write; NEVER
+        # materialize a dequantized cache (that would write+read a full bf16
+        # cache per step and lose to bf16 KV — measured, see sdpa_int8kv).
         b_idx = jnp.arange(B)[:, None]
-        if isinstance(cache_k, tuple):  # int8 cache: (values int8, scales f32)
-            ck, ks = cache_k
-            cv, vs = cache_v
-            kq, ksc = _quant_kv(k)
-            vq, vsc = _quant_kv(v)
-            ck = ck.at[b_idx, write_pos].set(kq)
-            ks = ks.at[b_idx, write_pos].set(ksc)
-            cv = cv.at[b_idx, write_pos].set(vq)
-            vs = vs.at[b_idx, write_pos].set(vsc)
-            cache_k, cache_v = (ck, ks), (cv, vs)
-            # dequant fuses into the attention operand load: HBM streams int8
-            k_all = (ck.astype(jnp.float32) * ks[..., None]).astype(q.dtype)
-            v_all = (cv.astype(jnp.float32) * vs[..., None]).astype(q.dtype)
+        ck, ks = cache_k
+        cv, vs = cache_v
+        kq, ksc = _quant_kv(k)
+        vq, vsc = _quant_kv(v)
+        ck = ck.at[b_idx, write_pos].set(kq)
+        ks = ks.at[b_idx, write_pos].set(ksc)
+        cv = cv.at[b_idx, write_pos].set(vq)
+        vs = vs.at[b_idx, write_pos].set(vsc)
+        cache_k, cache_v = (ck, ks), (cv, vs)
+        if T > 1:
+            # single-shot prefill: the cache holds exactly the fresh keys, so
+            # attend over the pre-quantization bf16 k/v (more accurate, and
+            # keeps the flash path); mask columns beyond T are sliced off.
+            m = None if attn_mask is None else attn_mask[..., :T]
+            attn = attention(q, k, v, m, impl=attn_impl, causal=causal)
         else:
+            from .layers import sdpa_int8kv
+
+            attn = sdpa_int8kv(q, ck, ks, cv, vs, attn_mask)
+    else:
+        if cache_k is not None:
+            # Scatter new keys/values into the cache at per-sample positions.
+            b_idx = jnp.arange(B)[:, None]
             cache_k = cache_k.at[b_idx, write_pos].set(k.astype(cache_k.dtype))
             cache_v = cache_v.at[b_idx, write_pos].set(v.astype(cache_v.dtype))
             k_all, v_all = cache_k, cache_v
-    else:
-        k_all, v_all = k, v
+        else:
+            k_all, v_all = k, v
 
-    attn = attention(
-        q, k_all.astype(q.dtype), v_all.astype(q.dtype), attn_mask, impl=attn_impl, causal=causal
-    )
+        attn = attention(
+            q, k_all.astype(q.dtype), v_all.astype(q.dtype), attn_mask, impl=attn_impl, causal=causal
+        )
     attn = attn.reshape(B, T, cfg.q_dim)
     x = x + linear(p["o_proj"], attn)
 

@@ -249,10 +249,24 @@ class TestResume:
         ]
         out = str(tmp_path / "res")
         m1 = run_benchmark("mlvu", predictor, samples, out_dir=out)
+        # completed run GCs its WAL (outputs-*.json now owns the records):
+        # a stale WAL must not seed a future run of the same out_dir
+        wal = os.path.join(out, "MLVU", "wal-host0.jsonl")
+        assert not os.path.exists(wal)
+
+        # simulate a crash: a WAL with the answered record but no outputs —
+        # the resumed run must skip the answered sample
+        import json as _json
+
+        rec = {
+            "task_type": "count", "video_name": "v.gif", "question": "How many?",
+            "pred": "A", "answer": "A",
+        }
+        with open(wal, "w") as fh:
+            fh.write(_json.dumps(rec) + "\n")
         n_before = predictor.stats.samples
         m2 = run_benchmark("mlvu", predictor, samples, out_dir=out)
-        # resumed run answered nothing new but reports the same metrics
-        assert predictor.stats.samples == n_before
+        assert predictor.stats.samples == n_before  # nothing re-answered
         assert m1 == m2
 
 

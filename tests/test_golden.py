@@ -92,3 +92,36 @@ def test_golden_qformer():
         jnp.asarray(ins["enc_mask"]),
     )
     np.testing.assert_allclose(np.asarray(ours), outs["query_hidden"], rtol=3e-4, atol=3e-4)
+
+
+def test_golden_compression():
+    """Replays the T=64 audio-on compression emission fixture: byte-stable
+    emission order (static+sep / per-chunk K+sep, budget clamp, ragged tail)
+    across refactors of compress/tdc.py."""
+    import jax
+
+    from tdc_video_tpu.compress import tdc as tdc_mod
+    from tdc_video_tpu.config import tdc_tiny
+
+    sd, inp, out, meta = _load("compression")
+    cfg = tdc_tiny(audio=True)
+    template = tdc_mod.init_compressor(jax.random.PRNGKey(int(meta["seed"])), cfg)
+    leaves, treedef = jax.tree_util.tree_flatten(template)
+    params = jax.tree_util.tree_unflatten(
+        treedef, [jnp.asarray(sd[f"{i:04d}"]) for i in range(len(leaves))]
+    )
+    got, n_vis = tdc_mod.compress_video(
+        cfg,
+        params,
+        jnp.asarray(inp["frames"]),
+        jnp.asarray(inp["mask"]),
+        jnp.asarray(inp["boundary"]),
+        jnp.asarray(inp["text_ids"]),
+        jnp.asarray(inp["text_mask"]),
+        jnp.asarray(inp["audio"]),
+        max_visual_len=int(meta["max_visual"]),
+    )
+    assert int(n_vis) == int(out["n_visual"])
+    np.testing.assert_allclose(
+        np.asarray(got)[: int(n_vis)], out["emission"], rtol=2e-5, atol=2e-5
+    )
