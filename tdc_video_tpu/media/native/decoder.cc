@@ -391,7 +391,10 @@ int tdc_decode_video_range(const char* path, double fps, int max_dim, int k0,
   close_media(&m);
   if (w <= 0 || h <= 0) return -2;
   if (dur <= 0.0 && k0 > 0) return -8;
-  if (src_fps > 0.0 && src_fps < 2.0 * fps && k0 > 0) return -9;  // see mt guard
+  // k0-independent (unlike the duration guard): a sparse container must
+  // fall back for EVERY chunk, or a streaming caller would get chunk 0
+  // sliced and chunk 1 refused mid-stream.
+  if (src_fps > 0.0 && src_fps < 2.0 * fps) return -9;  // see mt guard
 
   int ow, oh;
   if (w >= h) {

@@ -97,13 +97,14 @@ def _decode_chunks(
             t0 = time.perf_counter()
             out = decode_video_range(video_path, k0, k1, fps=fps)
             stats.decode_s += time.perf_counter() - t0
-            if out is None:  # unsliceable: one-shot full decode (old path)
-                if k0 != 0:
-                    break
+            if out is None:  # unsliceable: one-shot full decode (old path).
+                # A mid-stream refusal (e.g. duration only probed per-chunk)
+                # must not truncate the stream: decode everything and emit
+                # from the first target this loop has not yet delivered.
                 t0 = time.perf_counter()
                 frames, ts = decode_video(video_path, fps=fps, max_frames=max_frames)
                 stats.decode_s += time.perf_counter() - t0
-                for start in range(0, len(frames), chunk_frames):
+                for start in range(k0, len(frames), chunk_frames):
                     _emit_chunk(
                         out_q, frames[start : start + chunk_frames],
                         ts[start : start + chunk_frames], chunk_frames, cfg,
