@@ -24,22 +24,19 @@ def main():
     host_ms = float(sys.argv[1]) if len(sys.argv) > 1 else 100.0
     n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
 
-    # small-but-real: tiny tree scaled up so the device step takes ~100ms
+    # tiny config with a fat batch so the device step is comparable to the
+    # emulated host work
     cfg = tdc_tiny()
-    cfg = dataclasses.replace(
-        cfg,
-        lm=dataclasses.replace(cfg.lm, num_layers=8, hidden_size=512,
-                               intermediate_size=1408, num_heads=8, num_kv_heads=8,
-                               head_dim=64),
-    )
-    params = init_tdc(jax.random.PRNGKey(0), cfg)
+    # host-resident master copy: each Trainer gets fresh device buffers
+    # (the jitted step donates its params/opt_state)
+    params = jax.tree_util.tree_map(np.asarray, init_tdc(jax.random.PRNGKey(0), cfg))
     out = tempfile.mkdtemp()
 
     rng = np.random.default_rng(0)
 
     def make_batch():
         time.sleep(host_ms / 1e3)  # emulated host pipeline (decode/tokenize)
-        B, T, L = 2, 4, 64
+        B, T, L = 8, 8, 64
         labels = np.full((B, L), -100, np.int32)
         labels[:, 16:] = rng.integers(2, 100, (B, L - 16))
         return {
