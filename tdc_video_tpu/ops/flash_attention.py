@@ -226,31 +226,86 @@ def _full_attention_nhd_kernel(
         o_ref[:, :, sl] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
+def _full_attention_nhd_seqq_kernel(
+    q_ref,  # [BQ, H*D] (one q-token block, all heads packed)
+    k_ref,  # [S_pad, H*D]
+    v_ref,
+    o_ref,  # [BQ, H*D]
+    *,
+    scale: float,
+    kv_len: int,
+    head_dim: int,
+):
+    """Whole-lane-dim variant for head dims whose minimal lane block is too
+    fat for VMEM (SigLIP D=72 -> hb=16 -> 1152 lanes): q is blocked over
+    TOKENS instead, k/v ride whole; the head loop slices lanes per head."""
+    bq, hd_tot = q_ref.shape
+    s_pad = k_ref.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (s_pad, 1), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (bq, s_pad), 1)
+    for j in range(hd_tot // head_dim):
+        sl = pl.ds(j * head_dim, head_dim)
+        q = q_ref[:, sl].astype(jnp.float32) * scale
+        k = k_ref[:, sl].astype(jnp.float32)
+        v = v_ref[:, sl].astype(jnp.float32)
+        v = jnp.where(row < kv_len, v, 0.0)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [BQ, S_pad]
+        s = jnp.where(col < kv_len, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        o_ref[:, sl] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
 def _flash_full_nhd_fwd(q, k, v, scale, groups):
     B, S, Hq, D = q.shape
     hb = _nhd_head_block(D)
     s_pad = pl.cdiv(S, 128) * 128
-    nb = 1
-    if B % 2 == 0 and 2 * s_pad * s_pad * 4 <= 8 * 1024 * 1024:
-        nb = 2
-    grid = (B // nb, Hq // hb)
     qp = q.reshape(B, S, Hq * D)
     kp = k.reshape(B, S, Hq * D)
     vp = v.reshape(B, S, Hq * D)
-    out = pl.pallas_call(
-        functools.partial(
-            _full_attention_nhd_kernel, scale=scale, kv_len=S, head_dim=D
-        ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((nb, s_pad, hb * D), lambda b, h: (b, 0, h)),
-            pl.BlockSpec((nb, s_pad, hb * D), lambda b, h: (b, 0, h)),
-            pl.BlockSpec((nb, s_pad, hb * D), lambda b, h: (b, 0, h)),
-        ],
-        out_specs=pl.BlockSpec((nb, s_pad, hb * D), lambda b, h: (b, 0, h)),
-        out_shape=jax.ShapeDtypeStruct((B, S, Hq * D), q.dtype),
-        interpret=INTERPRET,
-    )(qp, kp, vp)
+    if hb * D <= 256:
+        nb = 1
+        if B % 2 == 0 and 2 * s_pad * s_pad * 4 <= 8 * 1024 * 1024:
+            nb = 2
+        grid = (B // nb, Hq // hb)
+        out = pl.pallas_call(
+            functools.partial(
+                _full_attention_nhd_kernel, scale=scale, kv_len=S, head_dim=D
+            ),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((nb, s_pad, hb * D), lambda b, h: (b, 0, h)),
+                pl.BlockSpec((nb, s_pad, hb * D), lambda b, h: (b, 0, h)),
+                pl.BlockSpec((nb, s_pad, hb * D), lambda b, h: (b, 0, h)),
+            ],
+            out_specs=pl.BlockSpec((nb, s_pad, hb * D), lambda b, h: (b, 0, h)),
+            out_shape=jax.ShapeDtypeStruct((B, S, Hq * D), q.dtype),
+            interpret=INTERPRET,
+        )(qp, kp, vp)
+    else:
+        # fat lane dim (hb*D == Hq*D): block q over tokens, k/v whole
+        bq = 256
+        grid = (B, pl.cdiv(s_pad, bq))
+        out = pl.pallas_call(
+            functools.partial(
+                _full_attention_nhd_seqq_kernel, scale=scale, kv_len=S, head_dim=D
+            ),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((None, bq, Hq * D), lambda b, i: (b, i, 0)),
+                pl.BlockSpec((None, s_pad, Hq * D), lambda b, i: (b, 0, 0)),
+                pl.BlockSpec((None, s_pad, Hq * D), lambda b, i: (b, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((None, bq, Hq * D), lambda b, i: (b, i, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, S, Hq * D), q.dtype),
+            interpret=INTERPRET,
+        )(qp, kp, vp)
     return out.reshape(B, S, Hq, D)
 
 
@@ -622,11 +677,14 @@ def flash_attention(
 
     if (
         not causal and T == S and S <= 1024
-        and Hq == Hkv and Hq % _nhd_head_block(D) == 0
-        and _nhd_head_block(D) * D <= 256
-        # lane-block must stay narrow or the operand blocks blow VMEM
-        # (D=72 -> whole-1152 blocks OOM at 27M; that case keeps the
-        # transposed path)
+        and Hq == Hkv
+        # narrow lane-blocks (e.g. D=64 -> 128 lanes) use the head-blocked
+        # kernel; a fat minimal block (D=72 -> 1152 lanes) must equal the
+        # whole packed dim and stay under VMEM, and uses the seq-q variant
+        and (
+            (_nhd_head_block(D) * D <= 256 and Hq % _nhd_head_block(D) == 0)
+            or (_nhd_head_block(D) == Hq and Hq * D <= 2048)
+        )
     ):
         # ViT-tower full attention: layout-native kernel, no transposes/pads
         return _flash_full_nhd(q, k, v, scale, 1)
