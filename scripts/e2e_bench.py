@@ -60,7 +60,8 @@ def main():
     def lm_path(params, embeds, amask):
         cache = lm_mod.init_kv_cache(cfg.lm, 1, MAX_LEN + NEW, cfg.dtype, quant=kv_quant)
         logits, cache = lm_mod.prefill(
-            cfg.lm, params["lm"], embeds, amask, cache, attn_impl="flash", dtype=cfg.dtype
+            cfg.lm, params["lm"], embeds, amask, cache, attn_impl="flash",
+            dtype=cfg.dtype, act_quant=True,
         )
         first = jnp.argmax(logits, -1).astype(jnp.int32)
         return first, cache

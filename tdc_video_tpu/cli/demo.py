@@ -82,6 +82,7 @@ def main(argv=None):
         bert_tokenizer=bert_tok,
         max_new_tokens=args.max_new_tokens,
         max_eval_frames=args.max_frames,
+        act_quant=(args.quantize == "int8-all"),
         kv_quant=args.kv_quant,
     )
     t1 = time.time()

@@ -88,6 +88,7 @@ def main(argv=None):
         bert_tokenizer=bert_tok,
         max_new_tokens=args.max_new_tokens,
         max_eval_frames=args.max_frames,
+        act_quant=(args.quantize == "int8-all"),
     )
     t1 = time.time()
     answers = predictor.answer_many(

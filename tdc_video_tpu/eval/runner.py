@@ -87,6 +87,7 @@ class TDCPredictor:
         attn_impl: str = "flash",
         device_preprocess: bool = False,
         kv_quant=None,  # "int8": quantized KV cache for the decode loops
+        act_quant: bool = False,  # int8 MXU prefill (use with int8 weights)
     ):
         self.cfg = cfg
         self.params = params
@@ -97,6 +98,7 @@ class TDCPredictor:
         self.text_bucket = text_bucket
         self.attn_impl = attn_impl
         self.kv_quant = kv_quant
+        self.act_quant = act_quant
         # False = PIL host path (bit-parity with the reference's processor
         # chain); True = pad/resize/normalize on-device (faster on weak hosts,
         # numerics within tolerance — tests/test_data.py::TestDevicePreprocess)
@@ -152,6 +154,7 @@ class TDCPredictor:
                 max_visual_len=max_vis,
                 attn_impl=self.attn_impl,
                 kv_quant=self.kv_quant,
+                act_quant=self.act_quant,
             )
 
         jfn = jax.jit(fn)
@@ -471,6 +474,7 @@ class TDCPredictor:
             capacity=capacity,
             attn_impl=self.attn_impl,
             kv_quant=kv_quant or self.kv_quant,
+            act_quant=self.act_quant,
         )
         for i, (embeds, amask) in enumerate(prefixes):
             eng.submit(Request(embeds=embeds, attn_mask=amask, max_new_tokens=mnt, uid=i))

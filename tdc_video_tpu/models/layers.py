@@ -167,7 +167,14 @@ def init_swiglu_mlp(key, d_model, d_ff, dtype, bias=False):
     }
 
 
-def swiglu_mlp(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+def swiglu_mlp(p: Params, x: jnp.ndarray, act_quant: bool = False) -> jnp.ndarray:
+    if act_quant and "w_q" in p["gate"]:
+        # one shared activation quantization feeds both gate and up
+        xq, xs = int8_qact(x)
+        h = jax.nn.silu(int8_dot(xq, xs, p["gate"], x.dtype)) * int8_dot(
+            xq, xs, p["up"], x.dtype
+        )
+        return linear(p["down"], h, act_quant=True)
     return linear(p["down"], jax.nn.silu(linear(p["gate"], x)) * linear(p["up"], x))
 
 

@@ -136,12 +136,27 @@ def _layer_forward(
     write_pos: Optional[jnp.ndarray],  # [B, T] slot indices to write new k/v
     attn_impl: str,
     causal: bool = False,
+    act_quant: bool = False,
 ):
     B, T, _ = x.shape
     h = rms_norm(p["input_norm"], x, cfg.rms_norm_eps)
-    q = linear(p["q_proj"], h).reshape(B, T, cfg.num_heads, cfg.head_dim)
-    k = linear(p["k_proj"], h).reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
-    v = linear(p["v_proj"], h).reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+    if act_quant and "w_q" in p["q_proj"]:
+        # int8 MXU prefill (models/quant.py): one shared activation
+        # quantization feeds q/k/v; ~1.56x weight-only prefill (PERF.md)
+        from .layers import int8_dot, int8_qact
+
+        hq, hs = int8_qact(h)
+
+        def _proj(pp):
+            y = int8_dot(hq, hs, pp, x.dtype)
+            return y
+        q = _proj(p["q_proj"]).reshape(B, T, cfg.num_heads, cfg.head_dim)
+        k = _proj(p["k_proj"]).reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+        v = _proj(p["v_proj"]).reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+    else:
+        q = linear(p["q_proj"], h).reshape(B, T, cfg.num_heads, cfg.head_dim)
+        k = linear(p["k_proj"], h).reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+        v = linear(p["v_proj"], h).reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -183,10 +198,10 @@ def _layer_forward(
             q, k_all.astype(q.dtype), v_all.astype(q.dtype), attn_mask, impl=attn_impl, causal=causal
         )
     attn = attn.reshape(B, T, cfg.q_dim)
-    x = x + linear(p["o_proj"], attn)
+    x = x + linear(p["o_proj"], attn, act_quant=act_quant)
 
     h2 = rms_norm(p["post_attn_norm"], x, cfg.rms_norm_eps)
-    x = x + swiglu_mlp(p["mlp"], h2)
+    x = x + swiglu_mlp(p["mlp"], h2, act_quant=act_quant)
     return x, cache_k, cache_v
 
 
@@ -202,6 +217,7 @@ def lm_backbone(
     remat: bool = False,
     dtype=jnp.bfloat16,
     causal: bool = False,
+    act_quant: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[Dict]]:
     """Run the decoder stack; returns (final hidden [B,T,H], updated cache).
     `causal=True` certifies the mask is causal over right-padded rows, which
@@ -210,7 +226,7 @@ def lm_backbone(
     inv_freq = rope_inv_freq(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
     cos, sin = rope_cos_sin(positions, inv_freq)
 
-    layer_fn = functools.partial(_layer_forward, cfg, attn_impl=attn_impl, causal=causal)
+    layer_fn = functools.partial(_layer_forward, cfg, attn_impl=attn_impl, causal=causal, act_quant=act_quant)
     if remat:
         layer_fn = jax.checkpoint(layer_fn, static_argnums=())
 
@@ -288,6 +304,7 @@ def lm_forward(
     remat: bool = False,
     dtype=jnp.bfloat16,
     seq_axis: Optional[str] = None,
+    act_quant: bool = False,
 ) -> jnp.ndarray:
     """Full-sequence causal forward (training / scoring).  Returns f32 logits.
 
@@ -321,6 +338,7 @@ def lm_forward(
         remat=remat,
         dtype=dtype,
         causal=True,
+        act_quant=act_quant,
     )
     return lm_head(cfg, params, hidden)
 
@@ -371,8 +389,12 @@ def prefill(
     cache: Dict,
     attn_impl: str = "xla",
     dtype=jnp.bfloat16,
+    act_quant: bool = False,
 ) -> Tuple[jnp.ndarray, Dict]:
-    """Prefill the cache; returns (last-token logits [B, V], cache)."""
+    """Prefill the cache; returns (last-token logits [B, V], cache).
+    act_quant=True runs the projections as s8 x s8 MXU dots with per-token
+    activation scales (~1.56x weight-only int8 prefill, PERF.md); decode
+    steps stay weight-only (bandwidth-bound)."""
     B, T, _ = inputs_embeds.shape
     S = cache["k"].shape[2]
     positions = jnp.maximum(jnp.cumsum(attention_mask.astype(jnp.int32), axis=1) - 1, 0)
@@ -395,6 +417,7 @@ def prefill(
         attn_impl=attn_impl,
         dtype=dtype,
         causal=True,
+        act_quant=act_quant,
     )
     lengths = attention_mask.astype(jnp.int32).sum(-1)
     cache["mask"] = cache["mask"].at[:, :T].set(attention_mask)

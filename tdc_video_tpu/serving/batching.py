@@ -81,6 +81,7 @@ class DecodeEngine:
         chunk_tokens: int = 16,
         attn_impl: str = "xla",
         kv_quant: Optional[str] = None,  # "int8": halve shared-cache HBM traffic
+        act_quant: bool = False,  # int8 MXU prefill (decode stays weight-only)
     ):
         self.cfg = cfg
         self.params = params
@@ -89,6 +90,7 @@ class DecodeEngine:
         self.chunk_tokens = chunk_tokens
         self.attn_impl = attn_impl
         self.kv_quant = kv_quant
+        self.act_quant = act_quant
 
         self.cache = lm_mod.init_kv_cache(cfg.lm, num_slots, capacity, cfg.dtype, quant=kv_quant)
         self._requests: List[Optional[Request]] = [None] * num_slots
@@ -109,6 +111,7 @@ class DecodeEngine:
         logits, cache1 = lm_mod.prefill(
             self.cfg.lm, params["lm"], embeds, attn_mask, cache1,
             attn_impl=self.attn_impl, dtype=self.cfg.dtype,
+            act_quant=self.act_quant,
         )
         return jnp.argmax(logits, -1).astype(jnp.int32), cache1
 

@@ -153,6 +153,7 @@ def generate(
     key: Optional[jnp.ndarray] = None,
     attn_impl: str = "xla",
     kv_quant: Optional[str] = None,  # "int8": halve KV-cache HBM traffic
+    act_quant: bool = False,  # int8 MXU prefill (decode stays weight-only)
 ) -> jnp.ndarray:
     """End-to-end multimodal generation (the reference main.py:60 round trip).
     Returns generated token ids [B, max_new_tokens]."""
@@ -179,7 +180,7 @@ def generate(
     cache = lm_mod.init_kv_cache(cfg.lm, B, capacity, dtype=cfg.dtype, quant=kv_quant)
     # Right-pack: embeds are already left-aligned with right padding.
     logits, cache = lm_mod.prefill(
-        cfg.lm, params["lm"], mm["embeds"], mm["attn_mask"], cache, attn_impl=attn_impl, dtype=cfg.dtype
+        cfg.lm, params["lm"], mm["embeds"], mm["attn_mask"], cache, attn_impl=attn_impl, dtype=cfg.dtype, act_quant=act_quant
     )
     first, key = _sample_first(logits, temperature, top_k, top_p, key)
     return decode_loop(
@@ -208,13 +209,14 @@ def generate_text_only(
     key: Optional[jnp.ndarray] = None,
     attn_impl: str = "xla",
     kv_quant: Optional[str] = None,  # "int8": halve KV-cache HBM traffic
+    act_quant: bool = False,  # int8 MXU prefill (decode stays weight-only)
 ) -> jnp.ndarray:
     """Text-only generation (parity harness vs HF and text-only eval rows)."""
     B, L = input_ids.shape
     embeds = lm_mod.embed_tokens(cfg.lm, params["lm"], input_ids, cfg.dtype)
     cache = lm_mod.init_kv_cache(cfg.lm, B, L + max_new_tokens, dtype=cfg.dtype, quant=kv_quant)
     logits, cache = lm_mod.prefill(
-        cfg.lm, params["lm"], embeds, attention_mask, cache, attn_impl=attn_impl, dtype=cfg.dtype
+        cfg.lm, params["lm"], embeds, attention_mask, cache, attn_impl=attn_impl, dtype=cfg.dtype, act_quant=act_quant
     )
     first, key = _sample_first(logits, temperature, top_k, top_p, key)
     return decode_loop(
@@ -245,6 +247,7 @@ def generate_encoded(
     key: Optional[jnp.ndarray] = None,
     attn_impl: str = "xla",
     kv_quant: Optional[str] = None,  # "int8": halve KV-cache HBM traffic
+    act_quant: bool = False,  # int8 MXU prefill (decode stays weight-only)
 ) -> jnp.ndarray:
     """Generation over PRE-ENCODED frames: the towers run once per video,
     compression + prefill re-run per question (text-conditioned Q-Former).
@@ -272,7 +275,7 @@ def generate_encoded(
     B = input_ids.shape[0]
     cache = lm_mod.init_kv_cache(cfg.lm, B, max_len + max_new_tokens, dtype=cfg.dtype, quant=kv_quant)
     logits, cache = lm_mod.prefill(
-        cfg.lm, params["lm"], mm["embeds"], mm["attn_mask"], cache, attn_impl=attn_impl, dtype=cfg.dtype
+        cfg.lm, params["lm"], mm["embeds"], mm["attn_mask"], cache, attn_impl=attn_impl, dtype=cfg.dtype, act_quant=act_quant
     )
     first, key = _sample_first(logits, temperature, top_k, top_p, key)
     return decode_loop(

@@ -224,3 +224,47 @@ class TestInt8KVCache:
                            max_new_tokens=5, uid="q"))
         done = eng.run()
         assert len(done) == 1 and 1 <= len(done[0].tokens) <= 5
+
+
+class TestInt8ActQuantPrefill:
+    """int8 MXU prefill (act_quant=True): projections run s8 x s8 with
+    per-token activation scales — 1.56x weight-only prefill on-chip
+    (PERF.md).  Decode steps stay weight-only."""
+
+    def test_prefill_logits_drift_bounded(self):
+        cfg = _cfg()
+        params = lm_mod.init_lm(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        qparams = quantize_lm_int8(params)
+        rng = np.random.default_rng(11)
+        ids = jnp.asarray(rng.integers(2, cfg.vocab_size, (2, 24)), jnp.int32)
+        ref = lm_mod.lm_forward(cfg, params, input_ids=ids, dtype=jnp.float32)
+        got = lm_mod.lm_forward(cfg, qparams, input_ids=ids, dtype=jnp.float32, act_quant=True)
+        ref, got = np.asarray(ref), np.asarray(got)
+        rel = np.abs(ref - got).max() / np.abs(ref).max()
+        assert rel < 0.08, rel
+        agree = (ref.argmax(-1) == got.argmax(-1)).mean()
+        assert agree > 0.85, agree
+
+    def test_float_weights_unaffected(self):
+        """act_quant is a no-op for float weights (training paths)."""
+        cfg = _cfg()
+        params = lm_mod.init_lm(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        rng = np.random.default_rng(12)
+        ids = jnp.asarray(rng.integers(2, cfg.vocab_size, (1, 8)), jnp.int32)
+        a = lm_mod.lm_forward(cfg, params, input_ids=ids, dtype=jnp.float32)
+        b = lm_mod.lm_forward(cfg, params, input_ids=ids, dtype=jnp.float32, act_quant=True)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_generation_end_to_end(self):
+        from tdc_video_tpu.config import tdc_tiny
+        from tdc_video_tpu.serving.generate import generate_text_only
+
+        cfg = tdc_tiny()
+        params = {"lm": quantize_lm_int8(lm_mod.init_lm(jax.random.PRNGKey(0), cfg.lm, dtype=jnp.float32))}
+        rng = np.random.default_rng(13)
+        ids = jnp.asarray(rng.integers(2, cfg.lm.vocab_size, (1, 10)), jnp.int32)
+        mask = jnp.ones(ids.shape, bool)
+        ref = generate_text_only(cfg, params, ids, mask, max_new_tokens=8)
+        got = generate_text_only(cfg, params, ids, mask, max_new_tokens=8, act_quant=True)
+        agree = (np.asarray(ref) == np.asarray(got)).mean()
+        assert agree >= 0.75, (agree, ref, got)
