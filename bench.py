@@ -36,18 +36,27 @@ def build(cfg):
 
     # Structural (zeros) init: benchmark timing is weight-independent, and
     # materializing ~9B random values host-side would dominate startup.
-    # Towers are int8-quantized — the shipped serving configuration
-    # (`--quantize int8-all`; drift bounds in tests/test_quant.py): the
-    # s8 x s8 MXU path roughly doubles compute-bound tower throughput.
+    # Towers are int8-quantized with static calibrated activation scales —
+    # the shipped serving configuration (`--quantize int8-all` after
+    # calibrate_vit_act_scales; drift bounds in tests/test_quant.py): the
+    # s8 x s8 MXU path roughly doubles compute-bound tower throughput, and
+    # static scales remove the per-token amax HBM pass (PERF.md round 3).
     shapes = jax.eval_shape(lambda: init_tdc(jax.random.PRNGKey(0), cfg))
     shapes["siglip"] = jax.eval_shape(quantize_vit_int8, shapes["siglip"])
     shapes["dino"] = jax.eval_shape(quantize_vit_int8, shapes["dino"])
     keep = {"siglip", "dino", "sva", "compressor", "image_newline"}
-    return {
+    params = {
         k: jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), v)
         for k, v in shapes.items()
         if k in keep
     }
+    for tower in ("siglip", "dino"):
+        L = cfg.siglip.num_layers if tower == "siglip" else cfg.dino.num_layers
+        params[tower]["layers"]["act_scale"] = {
+            site: jnp.ones((L,), jnp.float32)
+            for site in ("qkv", "attn", "mlp", "down")
+        }
+    return params
 
 
 def main():

@@ -176,6 +176,7 @@ def load_pretrained_model(
     dtype=None,
     load_tokenizer: bool = True,
     quantize: Optional[str] = None,  # "int8": weight-only int8 LM; "int8-all": + int8-compute towers
+    calib_pixels: Optional[Tuple[Any, Any]] = None,  # (siglip_px, dino_px) for static W8A8 act scales
 ) -> Tuple[Any, TDCModel, list, int]:
     """Reference-compatible loader signature (tdc/builder.py:40-51): returns
     (tokenizer, model, image_preprocess_list, context_len).
@@ -184,7 +185,11 @@ def load_pretrained_model(
     options (tdc/builder.py:58-67) with TPU-native weight-only int8 on the
     LM (models/quant.py) — ~2x the decode roofline.  quantize="int8-all"
     additionally quantizes the SigLIP/DINOv2 towers for int8 MXU compute
-    (~2x bf16 encode throughput; drift bounds in tests/test_quant.py)."""
+    (~2x bf16 encode throughput; drift bounds in tests/test_quant.py).
+    Passing calib_pixels=(siglip_batch, dino_batch) with "int8-all" runs the
+    float towers once on that batch to calibrate static per-layer activation
+    scales (models/quant.calibrate_vit_act_scales): the serving fast path
+    that removes the dynamic per-token amax pass (PERF.md round 3)."""
     import jax.numpy as jnp
 
     model_name = model_name or os.path.basename(model_path)
@@ -225,12 +230,25 @@ def load_pretrained_model(
     )
 
     if quantize in ("int8", "int8-all"):
-        from .models.quant import quantize_lm_int8, quantize_vit_int8
+        from .models.quant import (
+            calibrate_vit_act_scales,
+            quantize_lm_int8,
+            quantize_vit_int8,
+        )
 
         params["lm"] = quantize_lm_int8(params["lm"])
         if quantize == "int8-all":
-            params["siglip"] = quantize_vit_int8(params["siglip"])
-            params["dino"] = quantize_vit_int8(params["dino"])
+            sc_s = sc_d = None
+            if calib_pixels is not None:
+                sig_px, dino_px = calib_pixels
+                sc_s = calibrate_vit_act_scales(
+                    cfg.siglip, params["siglip"], jnp.asarray(sig_px), dtype=cfg.dtype
+                )
+                sc_d = calibrate_vit_act_scales(
+                    cfg.dino, params["dino"], jnp.asarray(dino_px), dtype=cfg.dtype
+                )
+            params["siglip"] = quantize_vit_int8(params["siglip"], act_scales=sc_s)
+            params["dino"] = quantize_vit_int8(params["dino"], act_scales=sc_d)
     elif quantize not in (None, "none"):
         raise ValueError(f"unknown quantize mode {quantize!r}")
 

@@ -46,14 +46,28 @@ def init_linear(key, d_in, d_out, dtype, bias=True, stddev=None):
     return p
 
 
-def int8_qact(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-row (per-token) symmetric int8 quantization of activations:
-    [..., D] float -> (int8 [..., D], f32 scale [..., 1]).  Kept separate
-    from the dot so one quantization feeds every consumer of the same
-    activation (q/k/v share their LN output — 1 amax+round instead of 3)."""
+def int8_qact(
+    x: jnp.ndarray, scale: Optional[jnp.ndarray] = None
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric int8 quantization of activations: [..., D] float ->
+    (int8 [..., D], f32 scale).  Kept separate from the dot so one
+    quantization feeds every consumer of the same activation (q/k/v share
+    their LN output — 1 amax+round instead of 3).
+
+    scale=None: dynamic per-row (per-token) scales from an amax pass.  On
+    compute-bound paths that amax is a full extra HBM read of the activation
+    (and blocks the round/clip from fusing into the producer — measured
+    ~12% of the int8 DINO tower, PERF.md).
+    scale=<scalar>: static calibrated scale (models/quant.py
+    calibrate_vit_act_scales); no reduction, so XLA fuses the whole
+    round/clip/convert chain into the producing fusion and the s8 tensor is
+    written directly."""
     xf = x.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-    x_scale = jnp.maximum(amax / 127.0, 1e-8)
+    if scale is None:
+        amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        x_scale = jnp.maximum(amax / 127.0, 1e-8)
+    else:
+        x_scale = scale.astype(jnp.float32)
     x_q = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
     return x_q, x_scale
 

@@ -75,15 +75,49 @@ def quantize_lm_int8(lm_params: Params, include_head: bool = True) -> Params:
     return quantize_tree_int8(lm_params, skip=skip)
 
 
-def quantize_vit_int8(vit_params: Params) -> Params:
+def quantize_vit_int8(vit_params: Params, act_scales: Params = None) -> Params:
     """ViT tower -> int8 for MXU int8 COMPUTE (models/layers.int8_matmul):
     the towers are compute-bound (PERF.md: 97% of encode+compress at ~44%
     bf16 MFU), so unlike the LM the win here comes from the s8 x s8 dot
-    running at ~2x bf16 MXU throughput, with activations dynamically
-    quantized per token.  LayerNorm / softmax / LayerScale / pos-embed stay
-    float.  Replaces the bf16 tower forward of the reference
-    (/root/reference/tdc/cambrian_arch.py:698-745) at serving time."""
-    return quantize_tree_int8(vit_params)
+    running at ~2x bf16 MXU throughput.  LayerNorm / softmax / LayerScale /
+    pos-embed stay float.  Replaces the bf16 tower forward of the reference
+    (/root/reference/tdc/cambrian_arch.py:698-745) at serving time.
+
+    act_scales=None: activations are quantized dynamically per token.
+    act_scales=<tree from calibrate_vit_act_scales>: static W8A8 — the
+    per-layer scales ride the layer scan and the dynamic amax pass (an
+    extra full HBM read per site) disappears (PERF.md round 3)."""
+    out = quantize_tree_int8(vit_params)
+    if act_scales is not None:
+        out["layers"] = dict(
+            out["layers"],
+            act_scale={k: v.astype(jnp.float32) for k, v in act_scales.items()},
+        )
+    return out
+
+
+def calibrate_vit_act_scales(
+    cfg, vit_params: Params, pixels: jnp.ndarray, attn_impl: str = "xla",
+    dtype=jnp.bfloat16, margin: float = 1.05,
+) -> Params:
+    """Static W8A8 calibration for a ViT tower: run the FLOAT tower on a
+    representative pixel batch, take per-layer per-site activation amaxes,
+    and derive symmetric int8 scales ({"qkv","attn","mlp","down"}: f32 [L]).
+    `margin` leaves headroom for eval-time tokens slightly outside the
+    calibration range (beyond it, values clip at +-127 like every static
+    W8A8 deployment).  Feed the result to quantize_vit_int8(act_scales=...)."""
+    from .vit import vit_forward
+
+    _, stats = jax.jit(
+        lambda p, px: vit_forward(
+            cfg, p, px, interpolate=False, attn_impl=attn_impl, dtype=dtype,
+            calibrate=True,
+        )
+    )(vit_params, pixels)
+    return {
+        k: jnp.maximum(v.astype(jnp.float32) * margin / 127.0, 1e-8)
+        for k, v in stats.items()
+    }
 
 
 def dequantize_linear(p: Params, dtype=jnp.float32) -> Params:

@@ -107,43 +107,88 @@ def bilinear_resize_tokens(tokens: jnp.ndarray, src_side: int, dst_side: int) ->
     return out.reshape(B, dst_side * dst_side, C).astype(tokens.dtype)
 
 
-def _layer_forward(cfg: ViTConfig, p: Params, x: jnp.ndarray, attn_impl: str):
+def _layer_forward(
+    cfg: ViTConfig, p: Params, x: jnp.ndarray, attn_impl: str, calibrate: bool = False
+):
     B, N, D = x.shape
     nh = cfg.num_heads
     hd = D // nh
-    # act_quant: when the tower is int8-quantized (models/quant.py
-    # quantize_vit_int8) the projections run s8 x s8 on the MXU with
-    # per-token dynamic activation scales; a no-op for float weights.
-    # q/k/v consume ONE shared quantization of the LN output (the separate
-    # per-call amax+round was 3x the elementwise/HBM cost for nothing).
-    lin = functools.partial(linear, act_quant=True)
+    # int8 towers (models/quant.py quantize_vit_int8): projections run
+    # s8 x s8 on the MXU.  Activation scales are dynamic per-token by
+    # default; when the layer carries calibrated static scales
+    # (p["act_scale"], one scalar per quantization site, stacked [L] and
+    # sliced by the scan) the amax pass disappears and the round/clip fuses
+    # into the producer (PERF.md, round 3).  q/k/v consume ONE shared
+    # quantization of the LN output (the separate per-call amax+round was
+    # 3x the elementwise/HBM cost for nothing).
     int8 = "w_q" in p["q_proj"]
+    asc = p.get("act_scale") if int8 else None
+    stats = {}
+
+    def site_scale(site):
+        return None if asc is None else asc[site]
+
+    def qlin(pp, xx, site):
+        if "w_q" in pp:
+            xq, xs = int8_qact(xx, site_scale(site))
+            return int8_dot(xq, xs, pp, x.dtype)
+        return linear(pp, xx)
+
     h = layer_norm(p["norm1"], x, cfg.layer_norm_eps)
+    if calibrate:
+        stats["qkv"] = jnp.max(jnp.abs(h.astype(jnp.float32)))
     if int8:
-        hq, hs = int8_qact(h)
+        hq, hs = int8_qact(h, site_scale("qkv"))
         q = int8_dot(hq, hs, p["q_proj"], x.dtype).reshape(B, N, nh, hd)
         k = int8_dot(hq, hs, p["k_proj"], x.dtype).reshape(B, N, nh, hd)
         v = int8_dot(hq, hs, p["v_proj"], x.dtype).reshape(B, N, nh, hd)
     else:
-        q = lin(p["q_proj"], h).reshape(B, N, nh, hd)
-        k = lin(p["k_proj"], h).reshape(B, N, nh, hd)
-        v = lin(p["v_proj"], h).reshape(B, N, nh, hd)
+        q = linear(p["q_proj"], h).reshape(B, N, nh, hd)
+        k = linear(p["k_proj"], h).reshape(B, N, nh, hd)
+        v = linear(p["v_proj"], h).reshape(B, N, nh, hd)
     a = attention(q, k, v, impl=attn_impl).reshape(B, N, D)
-    a = lin(p["o_proj"], a)
+    if calibrate:
+        stats["attn"] = jnp.max(jnp.abs(a.astype(jnp.float32)))
+    a = qlin(p["o_proj"], a, "attn")
     if cfg.layerscale:
         a = a * p["ls1"].astype(a.dtype)
     x = x + a
 
     h = layer_norm(p["norm2"], x, cfg.layer_norm_eps)
+    if calibrate:
+        stats["mlp"] = jnp.max(jnp.abs(h.astype(jnp.float32)))
     if cfg.use_swiglu:
-        gu = lin(p["mlp"]["gate_up"], h)
-        g, u = jnp.split(gu, 2, axis=-1)
-        m = lin(p["mlp"]["down"], jax.nn.silu(g) * u)
+        if int8:
+            # Two sliced dots instead of one concatenated gate_up dot: with
+            # a single [D, 2F] dot the split->silu(g)*u consumer reads two
+            # slices of the dot output, which blocks XLA from output-fusing
+            # the activation+quantize chain — the 2F-wide bf16 tensor hits
+            # HBM and a separate clamp/convert pass re-reads it (measured
+            # ~200 ms across DINO, PERF.md round 3).  With separate g/u
+            # dots the silu*mul(+quant) fuses into the u-dot epilogue the
+            # same way SigLIP's gelu+quant does.  The weight slices fuse
+            # into the dot operand load (no copy).
+            gup = p["mlp"]["gate_up"]
+            F = gup["w_q"].shape[-1] // 2
+            hq2, hs2 = int8_qact(h, site_scale("mlp"))
+            gp = {"w_q": gup["w_q"][:, :F], "w_scale": gup["w_scale"][:F]}
+            up = {"w_q": gup["w_q"][:, F:], "w_scale": gup["w_scale"][F:]}
+            if "b" in gup:
+                gp["b"], up["b"] = gup["b"][:F], gup["b"][F:]
+            g = int8_dot(hq2, hs2, gp, x.dtype)
+            u = int8_dot(hq2, hs2, up, x.dtype)
+        else:
+            gu = qlin(p["mlp"]["gate_up"], h, "mlp")
+            g, u = jnp.split(gu, 2, axis=-1)
+        inner = jax.nn.silu(g) * u
     else:
-        m = lin(p["mlp"]["fc2"], jax.nn.gelu(lin(p["mlp"]["fc1"], h), approximate=True))
+        inner = jax.nn.gelu(qlin(p["mlp"]["fc1"], h, "mlp"), approximate=True)
+    if calibrate:
+        stats["down"] = jnp.max(jnp.abs(inner.astype(jnp.float32)))
+    m = qlin(p["mlp"]["down"] if cfg.use_swiglu else p["mlp"]["fc2"], inner, "down")
     if cfg.layerscale:
         m = m * p["ls2"].astype(m.dtype)
-    return x + m
+    return x + m, stats
 
 
 def vit_forward(
@@ -153,8 +198,12 @@ def vit_forward(
     interpolate: bool = True,
     attn_impl: str = "xla",
     dtype=jnp.float32,
+    calibrate: bool = False,
 ) -> jnp.ndarray:
-    """Returns patch features [B, N(or interp_tokens), C]; CLS dropped."""
+    """Returns patch features [B, N(or interp_tokens), C]; CLS dropped.
+    calibrate=True (float params only) additionally returns per-layer
+    activation-amax statistics {"qkv","attn","mlp","down"}: [L] — the input
+    to models/quant.calibrate_vit_act_scales."""
     x = patchify(pixels.astype(dtype), cfg.patch_size)
     x = linear(params["patch_embed"], x, act_quant=True)
     B = x.shape[0]
@@ -163,12 +212,14 @@ def vit_forward(
         x = jnp.concatenate([cls, x], axis=1)
     x = x + params["pos_embed"].astype(x.dtype)[None]
 
-    layer_fn = functools.partial(_layer_forward, cfg, attn_impl=attn_impl)
+    layer_fn = functools.partial(
+        _layer_forward, cfg, attn_impl=attn_impl, calibrate=calibrate
+    )
 
     def body(carry, lp):
-        return layer_fn(lp, carry), None
+        return layer_fn(lp, carry)
 
-    x, _ = jax.lax.scan(body, x, params["layers"])
+    x, stats = jax.lax.scan(body, x, params["layers"])
 
     if cfg.name == "siglip":
         # HF SiglipVisionTransformer applies post_layernorm to last_hidden_state.
@@ -182,6 +233,8 @@ def vit_forward(
 
     if interpolate:
         x = bilinear_resize_tokens(x, cfg.grid_size, int(cfg.interp_tokens**0.5))
+    if calibrate:
+        return x, stats
     return x
 
 

@@ -122,6 +122,45 @@ class TestInt8Towers:
             assert rel < 0.05, (name, rel)
             assert cos > 0.995, (name, cos)
 
+    def test_tower_static_act_scales_drift_bounded(self):
+        """Static W8A8 (calibrate_vit_act_scales + quantize_vit_int8
+        act_scales=...) stays close to f32 on data from the calibration
+        distribution — the bench/serving fast path that removes the
+        per-token amax pass (PERF.md round 3)."""
+        from tdc_video_tpu.config import tdc_tiny
+        from tdc_video_tpu.models.quant import (
+            calibrate_vit_act_scales,
+            quantize_vit_int8,
+        )
+        from tdc_video_tpu.models.vit import init_vit, vit_forward
+
+        cfg = tdc_tiny()
+        rng = np.random.default_rng(5)
+        for name, vcfg in (("siglip", cfg.siglip), ("dino", cfg.dino)):
+            p = init_vit(jax.random.PRNGKey(1), vcfg, jnp.float32)
+            calib = jnp.asarray(
+                rng.normal(0, 1, (2, vcfg.image_size, vcfg.image_size, 3)),
+                jnp.float32,
+            )
+            px = jnp.asarray(
+                rng.normal(0, 1, (2, vcfg.image_size, vcfg.image_size, 3)),
+                jnp.float32,
+            )
+            scales = calibrate_vit_act_scales(
+                vcfg, p, calib, dtype=jnp.float32
+            )
+            assert set(scales) == {"qkv", "attn", "mlp", "down"}
+            assert all(v.shape == (vcfg.num_layers,) for v in scales.values())
+            qp = quantize_vit_int8(p, act_scales=scales)
+            ref = np.asarray(vit_forward(vcfg, p, px))
+            got = np.asarray(vit_forward(vcfg, qp, px))
+            rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+            cos = (got * ref).sum() / (
+                np.linalg.norm(got) * np.linalg.norm(ref)
+            )
+            assert rel < 0.06, (name, rel)
+            assert cos > 0.995, (name, cos)
+
     def test_encode_compress_int8_drift(self):
         """End-to-end encode+compress with int8 towers stays close to f32
         (the serving configuration behind `--quantize int8-all`)."""
@@ -165,6 +204,28 @@ class TestInt8Towers:
         assert model.params["lm"]["layers"]["q_proj"]["w_q"].dtype == jnp.int8
         # the SVA connector and Q-Former stay float (3% of pipeline time)
         assert "w" in model.params["sva"]["mm_projector"]["fc1"]
+
+    def test_builder_int8_all_calibrated(self, tmp_path):
+        """calib_pixels=(sig, dino) attaches static per-layer act scales."""
+        from test_builder import write_checkpoint
+        from tdc_video_tpu.builder import load_pretrained_model
+        from tdc_video_tpu.config import tdc_tiny
+
+        cfg = tdc_tiny()
+        ckpt = str(tmp_path / "ckpt")
+        write_checkpoint(ckpt, cfg, audio=False)
+        rng = np.random.default_rng(11)
+        sig = rng.normal(0, 1, (2, cfg.siglip.image_size, cfg.siglip.image_size, 3))
+        dino = rng.normal(0, 1, (2, cfg.dino.image_size, cfg.dino.image_size, 3))
+        _, model, _, _ = load_pretrained_model(
+            ckpt, load_tokenizer=False, quantize="int8-all",
+            calib_pixels=(sig, dino),
+        )
+        for tower, vcfg in (("siglip", cfg.siglip), ("dino", cfg.dino)):
+            asc = model.params[tower]["layers"]["act_scale"]
+            assert set(asc) == {"qkv", "attn", "mlp", "down"}
+            assert all(v.shape == (vcfg.num_layers,) for v in asc.values())
+            assert all(np.all(np.asarray(v) > 0) for v in asc.values())
 
 
 class TestInt8KVCache:
