@@ -134,22 +134,48 @@ class StreamingEncoder:
         max_frames: int = 1000,
         prefetch: int = 2,
         device_prep: bool = True,
+        mesh: Optional[Any] = None,
     ):
+        """mesh: optional jax.sharding.Mesh with a "data" axis.  Towers+SVA
+        are pure per-frame compute, so sharding each chunk's frame axis over
+        the mesh scales single-video ingest nearly linearly with chips (the
+        v5e-8 deployment of the BASELINE north star) — a capability upgrade
+        over the reference's single-GPU chunk-64 encode loop
+        (/root/reference/tdc/cambrian_arch.py:701-714).  Params are
+        replicated; GSPMD inserts no collectives in the encode graph.
+        Requires chunk_frames % mesh.shape["data"] == 0."""
         self.cfg = cfg
         self.params = params
         self.chunk_frames = chunk_frames
         self.max_frames = max_frames
         self.prefetch = prefetch
         self.device_prep = device_prep
-        self._encode = jax.jit(
-            lambda p, s, d: encode_frames(cfg, p, s, d, attn_impl="flash")
+        self.mesh = mesh
+        enc = lambda p, s, d: encode_frames(cfg, p, s, d, attn_impl="flash")
+        enc_u8 = lambda p, u8: encode_frames(
+            cfg, p, *[x.astype(cfg.dtype) for x in device_preprocess(u8, cfg)],
+            attn_impl="flash",
         )
-        self._encode_u8 = jax.jit(
-            lambda p, u8: encode_frames(
-                cfg, p, *[x.astype(cfg.dtype) for x in device_preprocess(u8, cfg)],
-                attn_impl="flash",
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            if chunk_frames % mesh.shape["data"] != 0:
+                raise ValueError(
+                    f"chunk_frames={chunk_frames} must divide evenly over the "
+                    f"mesh data axis ({mesh.shape['data']})"
+                )
+            rep = NamedSharding(mesh, P())
+            fr = NamedSharding(mesh, P("data"))
+            self._encode = jax.jit(
+                enc, in_shardings=(rep, fr, fr), out_shardings=(fr, fr)
             )
-        )
+            self._encode_u8 = jax.jit(
+                enc_u8, in_shardings=(rep, fr), out_shardings=(fr, fr)
+            )
+        else:
+            self._encode = jax.jit(enc)
+            self._encode_u8 = jax.jit(enc_u8)
         self._compress_cache = {}
 
     def _compress_fn(self, T: int, max_visual_len: int):

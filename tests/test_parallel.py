@@ -168,3 +168,46 @@ class TestTPServing:
         with mesh:
             out = jgen(sharded, ids, mask)
         np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+class TestShardedEncode:
+    """Multi-chip single-video ingest: StreamingEncoder(mesh=...) shards the
+    chunk frame axis over the mesh "data" axis (serving/streaming.py) — the
+    v5e-8 scaling path for the BASELINE north star."""
+
+    def test_sharded_encode_matches_unsharded(self):
+        from tdc_video_tpu.serving.streaming import StreamingEncoder
+
+        cfg = tdc_tiny()
+        params = init_tdc(jax.random.PRNGKey(0), cfg)
+        mesh = make_mesh(8, 1)
+        rng = np.random.default_rng(9)
+        T = 8
+        sig = jnp.asarray(
+            rng.normal(0, 1, (T, cfg.siglip.image_size, cfg.siglip.image_size, 3)),
+            jnp.float32,
+        )
+        dino = jnp.asarray(
+            rng.normal(0, 1, (T, cfg.dino.image_size, cfg.dino.image_size, 3)),
+            jnp.float32,
+        )
+        plain = StreamingEncoder(cfg, params, chunk_frames=T, device_prep=False)
+        sharded = StreamingEncoder(
+            cfg, params, chunk_frames=T, device_prep=False, mesh=mesh
+        )
+        ref, refd = plain._encode(params, sig, dino)
+        got, gotd = sharded._encode(params, sig, dino)
+        # per-frame compute: sharding must not change the numbers
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(gotd), np.asarray(refd), rtol=2e-5, atol=2e-5)
+        # and the outputs actually live distributed over the mesh
+        assert len(got.sharding.device_set) == 8
+
+    def test_chunk_not_divisible_raises(self):
+        from tdc_video_tpu.serving.streaming import StreamingEncoder
+
+        cfg = tdc_tiny()
+        params = init_tdc(jax.random.PRNGKey(0), cfg)
+        mesh = make_mesh(8, 1)
+        with pytest.raises(ValueError):
+            StreamingEncoder(cfg, params, chunk_frames=12, mesh=mesh)
