@@ -49,7 +49,12 @@ def _flash_kernel(
 ):
     block_q, d = q_ref.shape
     s_pad = k_ref.shape[0]
-    q = q_ref[:].astype(jnp.float32) * scale
+    # Dots take INPUT-dtype operands (bf16 on the serving path) with f32
+    # accumulation: an f32 x f32 MXU matmul decomposes into multiple bf16
+    # passes (~1/3 throughput — measured as ~38% attention MFU before this).
+    # The scalar scale applies to the f32 score AFTER the dot, exactly like
+    # the XLA sdpa path (layers.sdpa), so f32-input parity stays bitwise.
+    q = q_ref[:]
     qi = pl.program_id(3) * block_q  # absolute start row of this Q block
 
     m = jnp.full((block_q, 1), NEG_INF, jnp.float32)
@@ -61,9 +66,9 @@ def _flash_kernel(
     def body(kb, carry):
         m, l, acc = carry
         ks = kb * block_k
-        k_blk = k_ref[pl.ds(ks, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[pl.ds(ks, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
+        k_blk = k_ref[pl.ds(ks, block_k), :]
+        v_blk = v_ref[pl.ds(ks, block_k), :]
+        s = scale * jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [BLOCK_Q, BLOCK_K]
 
@@ -79,7 +84,8 @@ def _flash_kernel(
         alpha = jnp.exp(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         return m_new, l, acc
 
@@ -112,14 +118,16 @@ def _full_attention_kernel(
     tiny grid steps), while the batched form amortizes the grid and DMA
     overhead across frames."""
     nb, s_pad, d = q_ref.shape
-    q = q_ref[:].astype(jnp.float32) * scale
-    k = k_ref[:].astype(jnp.float32)
-    v = v_ref[:].astype(jnp.float32)
+    # input-dtype dot operands, f32 accumulation, post-dot scale (see
+    # _flash_kernel note: f32 x f32 MXU dots run at ~1/3 bf16 throughput)
+    q = q_ref[:]
+    k = k_ref[:]
+    v = v_ref[:]
     # Padded v rows may hold arbitrary bits (implicit edge padding on the
     # inference path); zero them so 0-weight x NaN cannot poison the PV dot.
     vrow = jax.lax.broadcasted_iota(jnp.int32, (nb, s_pad, 1), 1)
     v = jnp.where(vrow < kv_len, v, 0.0)
-    s = jax.lax.dot_general(
+    s = scale * jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )  # [NB, S, S]
     col = jax.lax.broadcasted_iota(jnp.int32, (nb, s_pad, s_pad), 2)
@@ -128,7 +136,8 @@ def _full_attention_kernel(
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
     o = jax.lax.dot_general(
-        p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
     )
     o_ref[:] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
     lse_ref[:] = m + jnp.log(jnp.maximum(l, 1e-30))
@@ -209,11 +218,14 @@ def _full_attention_nhd_kernel(
     col = jax.lax.broadcasted_iota(jnp.int32, (nb, s_pad, s_pad), 2)
     for j in range(hd_tot // head_dim):
         sl = pl.ds(j * head_dim, head_dim)
-        q = q_ref[:, :, sl].astype(jnp.float32) * scale
-        k = k_ref[:, :, sl].astype(jnp.float32)
-        v = v_ref[:, :, sl].astype(jnp.float32)
+        # input-dtype dot operands, f32 accumulation, post-dot scale (see
+        # _flash_kernel note) — this took the NHD attention calls from ~38%
+        # to bf16-native MFU
+        q = q_ref[:, :, sl]
+        k = k_ref[:, :, sl]
+        v = v_ref[:, :, sl]
         v = jnp.where(row < kv_len, v, 0.0)
-        s = jax.lax.dot_general(
+        s = scale * jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )  # [NB, S, S]
         s = jnp.where(col < kv_len, s, NEG_INF)
@@ -221,7 +233,8 @@ def _full_attention_nhd_kernel(
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
         o = jax.lax.dot_general(
-            p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
         )
         o_ref[:, :, sl] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
@@ -245,11 +258,12 @@ def _full_attention_nhd_seqq_kernel(
     col = jax.lax.broadcasted_iota(jnp.int32, (bq, s_pad), 1)
     for j in range(hd_tot // head_dim):
         sl = pl.ds(j * head_dim, head_dim)
-        q = q_ref[:, sl].astype(jnp.float32) * scale
-        k = k_ref[:, sl].astype(jnp.float32)
-        v = v_ref[:, sl].astype(jnp.float32)
+        # input-dtype dot operands, f32 accumulation, post-dot scale
+        q = q_ref[:, sl]
+        k = k_ref[:, sl]
+        v = v_ref[:, sl]
         v = jnp.where(row < kv_len, v, 0.0)
-        s = jax.lax.dot_general(
+        s = scale * jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [BQ, S_pad]
         s = jnp.where(col < kv_len, s, NEG_INF)
@@ -257,7 +271,8 @@ def _full_attention_nhd_seqq_kernel(
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
         o = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         o_ref[:, sl] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
@@ -431,8 +446,9 @@ def _flash_dq_kernel(
 ):
     block_q, d = q_ref.shape
     s_pad = k_ref.shape[0]
-    q = q_ref[:].astype(jnp.float32)
-    do = do_ref[:].astype(jnp.float32)
+    # input-dtype dot operands with f32 accumulation (see _flash_kernel note)
+    q = q_ref[:]
+    do = do_ref[:]
     lse = lse_ref[:]
     delta = delta_ref[:]
     qi = pl.program_id(3) * block_q
@@ -441,8 +457,8 @@ def _flash_dq_kernel(
 
     def body(kb, acc):
         ks = kb * block_k
-        k_blk = k_ref[pl.ds(ks, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[pl.ds(ks, block_k), :].astype(jnp.float32)
+        k_blk = k_ref[pl.ds(ks, block_k), :]
+        v_blk = v_ref[pl.ds(ks, block_k), :]
         s = scale * jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -457,7 +473,8 @@ def _flash_dq_kernel(
         )
         ds = p * (dp - delta)
         return acc + jax.lax.dot_general(
-            ds, k_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ds.astype(k_blk.dtype), k_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
 
     if causal:
@@ -498,10 +515,11 @@ def _flash_dkv_kernel(
         dv_ref[:] = jnp.zeros_like(dv_ref)
 
     def _accum():
-        k = k_ref[:].astype(jnp.float32)
-        v = v_ref[:].astype(jnp.float32)
-        q_blk = q_ref[:].astype(jnp.float32)
-        do_blk = do_ref[:].astype(jnp.float32)
+        # input-dtype dot operands with f32 accumulation (see _flash_kernel)
+        k = k_ref[:]
+        v = v_ref[:]
+        q_blk = q_ref[:]
+        do_blk = do_ref[:]
         lse = lse_ref[:]
         delta = delta_ref[:]
         s = scale * jax.lax.dot_general(
@@ -514,14 +532,16 @@ def _flash_dkv_kernel(
             mask = mask & (col <= row)
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)
         dv_ref[:] += jax.lax.dot_general(
-            p, do_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(do_blk.dtype), do_blk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         dp = jax.lax.dot_general(
             do_blk, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         ds = p * (dp - delta)
         dk_ref[:] += scale * jax.lax.dot_general(
-            ds, q_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ds.astype(q_blk.dtype), q_blk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
 
     if causal:
