@@ -402,7 +402,9 @@ class Trainer:
                 self._metrics_fh = open(
                     os.path.join(self.tcfg.output_dir, "metrics.jsonl"), "a"
                 )
-            self._metrics_fh.write(json.dumps(metrics) + "\n")
+            # default=float: train_step returns a DEVICE-RESIDENT loss scalar
+            # (deferred host sync); callers may pass it to log() unfetched.
+            self._metrics_fh.write(json.dumps(metrics, default=float) + "\n")
             self._metrics_fh.flush()
 
     def _ckpt_manager(self):
