@@ -29,6 +29,12 @@ def main(argv=None):
     ap.add_argument("--kv_quant", default=None, choices=["int8"],
                     help="int8 KV cache (halves cache footprint/traffic)")
     ap.add_argument(
+        "--spec_window", type=int, default=0,
+        help="prompt-lookup speculative decoding window (greedy only; >=2 "
+        "enables — exact same tokens, up to window x faster when the answer "
+        "echoes the prompt; see serving/speculative.py)",
+    )
+    ap.add_argument(
         "--quantize", default=None, choices=["int8", "int8-all"],
         help="weight-only int8 LM (TPU-native replacement for the reference's "
         "bnb 4/8-bit loading; ~2x decode throughput)",
@@ -84,6 +90,7 @@ def main(argv=None):
         max_eval_frames=args.max_frames,
         act_quant=(args.quantize == "int8-all"),
         kv_quant=args.kv_quant,
+        spec_window=args.spec_window,
     )
     t1 = time.time()
     import contextlib

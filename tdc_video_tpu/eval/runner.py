@@ -88,6 +88,8 @@ class TDCPredictor:
         device_preprocess: bool = False,
         kv_quant=None,  # "int8": quantized KV cache for the decode loops
         act_quant: bool = False,  # int8 MXU prefill (use with int8 weights)
+        spec_window: int = 0,  # >=2: prompt-lookup speculative decode (greedy)
+        spec_ngram: int = 3,
     ):
         self.cfg = cfg
         self.params = params
@@ -99,6 +101,8 @@ class TDCPredictor:
         self.attn_impl = attn_impl
         self.kv_quant = kv_quant
         self.act_quant = act_quant
+        self.spec_window = spec_window
+        self.spec_ngram = spec_ngram
         # False = PIL host path (bit-parity with the reference's processor
         # chain); True = pad/resize/normalize on-device (faster on weak hosts,
         # numerics within tolerance — tests/test_data.py::TestDevicePreprocess)
@@ -155,6 +159,8 @@ class TDCPredictor:
                 attn_impl=self.attn_impl,
                 kv_quant=self.kv_quant,
                 act_quant=self.act_quant,
+                spec_window=self.spec_window,
+                spec_ngram=self.spec_ngram,
             )
 
         jfn = jax.jit(fn)

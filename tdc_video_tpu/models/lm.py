@@ -137,6 +137,7 @@ def _layer_forward(
     attn_impl: str,
     causal: bool = False,
     act_quant: bool = False,
+    verify: bool = False,
 ):
     B, T, _ = x.shape
     h = rms_norm(p["input_norm"], x, cfg.rms_norm_eps)
@@ -174,13 +175,17 @@ def _layer_forward(
         cv = cv.at[b_idx, write_pos].set(vq)
         vs = vs.at[b_idx, write_pos].set(vsc)
         cache_k, cache_v = (ck, ks), (cv, vs)
-        if T > 1:
+        if T > 1 and not verify:
             # single-shot prefill: the cache holds exactly the fresh keys, so
             # attend over the pre-quantization bf16 k/v (more accurate, and
             # keeps the flash path); mask columns beyond T are sliced off.
             m = None if attn_mask is None else attn_mask[..., :T]
             attn = attention(q, k, v, m, impl=attn_impl, causal=causal)
         else:
+            # decode (T=1) or speculative verify (T=K>1 over a NON-empty
+            # cache): attend over the full quantized cache — the window's
+            # fresh keys were just written above, so this reads them back
+            # quantized, exactly like sequential decode steps would.
             from .layers import sdpa_int8kv
 
             attn = sdpa_int8kv(q, ck, ks, cv, vs, attn_mask)
@@ -218,15 +223,21 @@ def lm_backbone(
     dtype=jnp.bfloat16,
     causal: bool = False,
     act_quant: bool = False,
+    verify: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[Dict]]:
     """Run the decoder stack; returns (final hidden [B,T,H], updated cache).
     `causal=True` certifies the mask is causal over right-padded rows, which
-    unlocks the Pallas flash path."""
+    unlocks the Pallas flash path.  `verify=True` marks a multi-token step
+    over a non-empty cache (speculative decoding), which must read the whole
+    cache rather than treat T>1 as single-shot prefill."""
     x = inputs_embeds.astype(dtype)
     inv_freq = rope_inv_freq(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
     cos, sin = rope_cos_sin(positions, inv_freq)
 
-    layer_fn = functools.partial(_layer_forward, cfg, attn_impl=attn_impl, causal=causal, act_quant=act_quant)
+    layer_fn = functools.partial(
+        _layer_forward, cfg, attn_impl=attn_impl, causal=causal,
+        act_quant=act_quant, verify=verify,
+    )
     if remat:
         layer_fn = jax.checkpoint(layer_fn, static_argnums=())
 
@@ -467,3 +478,66 @@ def decode_step(
         cache["mask"] = jnp.where(active[:, None], step_mask, cache["mask"])
         cache["lengths"] = lengths + active.astype(lengths.dtype)
     return lm_head(cfg, params, hidden)[:, 0], cache
+
+
+def verify_step(
+    cfg: LMConfig,
+    params: Params,
+    token_embeds: jnp.ndarray,  # [B, K, H] — last accepted token + K-1 drafts
+    cache: Dict,
+    attn_impl: str = "xla",
+    dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, Dict]:
+    """K-token step for speculative decoding (serving/speculative.py).
+
+    Processes K tokens at the per-sample cache tails in ONE forward pass —
+    decode is HBM-bandwidth-bound on the weight stream, so the K-token dot
+    costs nearly the same as decode_step's 1-token dot; that near-free slack
+    is what makes draft verification profitable on TPU.  Window token j
+    attends every valid cache slot plus window slots 0..j (its own causal
+    prefix).  K/V are written at slots lengths..lengths+K-1 but mask/lengths
+    are NOT advanced: the caller commits exactly the accepted prefix with
+    `commit_verified`, and rejected slots are plain garbage above `lengths`
+    that the next window overwrites.  Requires lengths + K <= capacity
+    (callers allocate `window` slots of headroom; a clamped tail write would
+    corrupt an already-committed slot).  Returns (logits [B, K, V], cache).
+    """
+    B, K, _ = token_embeds.shape
+    S = cache["k"].shape[2]
+    lengths = cache["lengths"]
+    offs = jnp.arange(K)[None]  # [1, K]
+    positions = lengths[:, None] + offs
+    write_pos = jnp.minimum(positions, S - 1)
+    col = jnp.arange(S)[None, None]  # [1, 1, S]
+    window = (col >= lengths[:, None, None]) & (
+        col <= lengths[:, None, None] + offs[..., None]
+    )  # [B, K, S]
+    attn_mask = (cache["mask"][:, None, :] | window)[:, None]  # [B,1,K,S]
+    hidden, cache = lm_backbone(
+        cfg,
+        params,
+        token_embeds,
+        positions,
+        attn_mask,
+        cache=cache,
+        write_pos=write_pos,
+        attn_impl=attn_impl,
+        dtype=dtype,
+        verify=True,
+    )
+    return lm_head(cfg, params, hidden), cache
+
+
+def commit_verified(cache: Dict, accept: jnp.ndarray) -> Dict:
+    """Advance the cache past `accept` [B] verified window tokens: their K/V
+    were already written by verify_step; this flips their mask slots valid
+    and bumps lengths.  accept=0 leaves the sample untouched."""
+    S = cache["k"].shape[2]
+    col = jnp.arange(S)[None]
+    lengths = cache["lengths"]
+    new = (col >= lengths[:, None]) & (col < (lengths + accept)[:, None])
+    return dict(
+        cache,
+        mask=cache["mask"] | new,
+        lengths=lengths + accept.astype(lengths.dtype),
+    )

@@ -121,6 +121,28 @@ def decode_loop(
     return out
 
 
+def _spec_or_plain_decode(
+    cfg, params, cache, first, input_ids, prompt_len, max_new_tokens,
+    temperature, top_k, top_p, key, attn_impl, spec_window, spec_ngram,
+):
+    """Route to prompt-lookup speculative decode (greedy only) or the plain
+    loop.  Speculation is exact for greedy, so it silently applies whenever
+    temperature==0 and spec_window>=2; sampled decode always takes the plain
+    loop."""
+    if spec_window and spec_window >= 2 and temperature == 0.0:
+        from .speculative import pld_decode_loop
+
+        return pld_decode_loop(
+            cfg, params, cache, first, input_ids, prompt_len,
+            max_new_tokens, window=spec_window, ngram=spec_ngram,
+            attn_impl=attn_impl,
+        )
+    return decode_loop(
+        cfg, params, cache, first, max_new_tokens, temperature=temperature,
+        top_k=top_k, top_p=top_p, key=key, attn_impl=attn_impl,
+    )
+
+
 def _sample_first(logits, temperature, top_k, top_p, key):
     """First generated token comes from the prefill logits."""
     if temperature == 0.0:
@@ -154,6 +176,8 @@ def generate(
     attn_impl: str = "xla",
     kv_quant: Optional[str] = None,  # "int8": halve KV-cache HBM traffic
     act_quant: bool = False,  # int8 MXU prefill (decode stays weight-only)
+    spec_window: int = 0,  # >=2: prompt-lookup speculative decode (greedy)
+    spec_ngram: int = 3,
 ) -> jnp.ndarray:
     """End-to-end multimodal generation (the reference main.py:60 round trip).
     Returns generated token ids [B, max_new_tokens]."""
@@ -176,24 +200,23 @@ def generate(
         attn_impl=attn_impl,
     )
     B = input_ids.shape[0]
-    capacity = max_len + max_new_tokens
+    # spec headroom: verify_step writes a whole window before acceptance
+    capacity = max_len + max_new_tokens + max(spec_window - 1, 0)
     cache = lm_mod.init_kv_cache(cfg.lm, B, capacity, dtype=cfg.dtype, quant=kv_quant)
     # Right-pack: embeds are already left-aligned with right padding.
     logits, cache = lm_mod.prefill(
         cfg.lm, params["lm"], mm["embeds"], mm["attn_mask"], cache, attn_impl=attn_impl, dtype=cfg.dtype, act_quant=act_quant
     )
     first, key = _sample_first(logits, temperature, top_k, top_p, key)
-    return decode_loop(
-        cfg,
-        params,
-        cache,
-        first,
-        max_new_tokens,
-        temperature=temperature,
-        top_k=top_k,
-        top_p=top_p,
-        key=key,
-        attn_impl=attn_impl,
+    # Prompt-lookup drafts come from the TEXT ids (the expanded visual tokens
+    # have no token identity); a pad-including prompt_len only weakens drafts.
+    prompt_len = (
+        text_len if text_len is not None
+        else jnp.full((B,), input_ids.shape[1], jnp.int32)
+    )
+    return _spec_or_plain_decode(
+        cfg, params, cache, first, input_ids, prompt_len, max_new_tokens,
+        temperature, top_k, top_p, key, attn_impl, spec_window, spec_ngram,
     )
 
 
@@ -210,17 +233,22 @@ def generate_text_only(
     attn_impl: str = "xla",
     kv_quant: Optional[str] = None,  # "int8": halve KV-cache HBM traffic
     act_quant: bool = False,  # int8 MXU prefill (decode stays weight-only)
+    spec_window: int = 0,  # >=2: prompt-lookup speculative decode (greedy)
+    spec_ngram: int = 3,
 ) -> jnp.ndarray:
     """Text-only generation (parity harness vs HF and text-only eval rows)."""
     B, L = input_ids.shape
     embeds = lm_mod.embed_tokens(cfg.lm, params["lm"], input_ids, cfg.dtype)
-    cache = lm_mod.init_kv_cache(cfg.lm, B, L + max_new_tokens, dtype=cfg.dtype, quant=kv_quant)
+    capacity = L + max_new_tokens + max(spec_window - 1, 0)
+    cache = lm_mod.init_kv_cache(cfg.lm, B, capacity, dtype=cfg.dtype, quant=kv_quant)
     logits, cache = lm_mod.prefill(
         cfg.lm, params["lm"], embeds, attention_mask, cache, attn_impl=attn_impl, dtype=cfg.dtype, act_quant=act_quant
     )
     first, key = _sample_first(logits, temperature, top_k, top_p, key)
-    return decode_loop(
-        cfg, params, cache, first, max_new_tokens, temperature=temperature, top_k=top_k, top_p=top_p, key=key, attn_impl=attn_impl
+    prompt_len = attention_mask.astype(jnp.int32).sum(-1)
+    return _spec_or_plain_decode(
+        cfg, params, cache, first, input_ids, prompt_len, max_new_tokens,
+        temperature, top_k, top_p, key, attn_impl, spec_window, spec_ngram,
     )
 
 
@@ -248,6 +276,8 @@ def generate_encoded(
     attn_impl: str = "xla",
     kv_quant: Optional[str] = None,  # "int8": halve KV-cache HBM traffic
     act_quant: bool = False,  # int8 MXU prefill (decode stays weight-only)
+    spec_window: int = 0,  # >=2: prompt-lookup speculative decode (greedy)
+    spec_ngram: int = 3,
 ) -> jnp.ndarray:
     """Generation over PRE-ENCODED frames: the towers run once per video,
     compression + prefill re-run per question (text-conditioned Q-Former).
@@ -273,12 +303,17 @@ def generate_encoded(
         max_visual_len=max_visual_len,
     )
     B = input_ids.shape[0]
-    cache = lm_mod.init_kv_cache(cfg.lm, B, max_len + max_new_tokens, dtype=cfg.dtype, quant=kv_quant)
+    capacity = max_len + max_new_tokens + max(spec_window - 1, 0)
+    cache = lm_mod.init_kv_cache(cfg.lm, B, capacity, dtype=cfg.dtype, quant=kv_quant)
     logits, cache = lm_mod.prefill(
         cfg.lm, params["lm"], mm["embeds"], mm["attn_mask"], cache, attn_impl=attn_impl, dtype=cfg.dtype, act_quant=act_quant
     )
     first, key = _sample_first(logits, temperature, top_k, top_p, key)
-    return decode_loop(
-        cfg, params, cache, first, max_new_tokens,
-        temperature=temperature, top_k=top_k, top_p=top_p, key=key, attn_impl=attn_impl,
+    prompt_len = (
+        text_len if text_len is not None
+        else jnp.full((B,), input_ids.shape[1], jnp.int32)
+    )
+    return _spec_or_plain_decode(
+        cfg, params, cache, first, input_ids, prompt_len, max_new_tokens,
+        temperature, top_k, top_p, key, attn_impl, spec_window, spec_ngram,
     )
