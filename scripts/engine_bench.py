@@ -7,7 +7,11 @@ lockstep decode is small at the HBM roofline (weights stream once per step
 regardless of batch), so aggregate tok/s should scale nearly linearly until
 the MXU or cache traffic saturates — this script measures where.
 
-Usage: python scripts/engine_bench.py [3b|7b] [kv8]
+Usage: python scripts/engine_bench.py [3b|7b] [kv8] [spec]
+
+`spec` runs the speculative lockstep (spec_window=8) at the full-acceptance
+ceiling (zero weights decode the constant token 0; prompts end in a run of
+0s so every lookup hits — same construction as spec_bench.py).
 """
 import os, sys, time, dataclasses
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -17,7 +21,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 import numpy as np, jax.numpy as jnp
 
 
-def run(which, lm_cfg, kv_quant):
+def run(which, lm_cfg, kv_quant, spec=0):
     from tdc_video_tpu import config as C
     from tdc_video_tpu.models import lm as lm_mod
     from tdc_video_tpu.models.quant import quantize_lm_int8
@@ -35,7 +39,12 @@ def run(which, lm_cfg, kv_quant):
     rng = np.random.default_rng(0)
 
     def make_req(i):
-        ids = jnp.asarray(rng.integers(5, 1000, (1, L)), jnp.int32)
+        if spec:
+            ids_np = np.full((1, L), 7, np.int64)
+            ids_np[:, L // 2 :] = 0  # full-acceptance ceiling (see docstring)
+            ids = jnp.asarray(ids_np, jnp.int32)
+        else:
+            ids = jnp.asarray(rng.integers(5, 1000, (1, L)), jnp.int32)
         embeds = lm_mod.embed_tokens(cfg.lm, params["lm"], ids, cfg.dtype)
         # distinct embeds per request: the axon runtime memoizes identical
         # (executable, args) executions
@@ -43,12 +52,14 @@ def run(which, lm_cfg, kv_quant):
         return Request(
             embeds=embeds, attn_mask=jnp.ones((1, L), bool),
             max_new_tokens=NEW, uid=i,
+            prompt_ids=np.asarray(ids[0]) if spec else None,
         )
 
     for slots in (1, 2, 4):
         eng = DecodeEngine(
-            cfg, params, num_slots=slots, capacity=L + NEW,
-            chunk_tokens=16, attn_impl="flash", kv_quant=kv_quant,
+            cfg, params, num_slots=slots, capacity=L + NEW + max(spec - 1, 0),
+            chunk_tokens=16 // max(spec, 1) or 1, attn_impl="flash",
+            kv_quant=kv_quant, spec_window=spec,
         )
         # warm all compiles (prefill + chunk)
         eng.submit(make_req(100))
@@ -61,8 +72,9 @@ def run(which, lm_cfg, kv_quant):
         dt = time.perf_counter() - t0
         n_tok = sum(len(r.tokens) for r in done)
         kv = f"+kv{kv_quant}" if kv_quant else ""
+        sp = f"+spec{spec}" if spec else ""
         print(
-            f"{which} int8{kv} slots={slots}: {n_tok} tokens in {dt*1e3:.0f} ms "
+            f"{which} int8{kv}{sp} slots={slots}: {n_tok} tokens in {dt*1e3:.0f} ms "
             f"-> {n_tok/dt:.1f} tok/s aggregate ({n_tok/dt/slots:.1f}/slot)"
         )
 
@@ -73,4 +85,5 @@ if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "3b"
     lm = C.LLAMA32_3B if which == "3b" else C.QWEN2_7B
     kv = "int8" if "kv8" in sys.argv[2:] else None
-    run(which, lm, kv)
+    spec = 8 if "spec" in sys.argv[2:] else 0
+    run(which, lm, kv, spec)

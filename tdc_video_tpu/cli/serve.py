@@ -38,6 +38,11 @@ def main(argv=None):
     ap.add_argument("--quantize", default=None, choices=["int8", "int8-all"])
     ap.add_argument("--kv_quant", default=None, choices=["int8"],
                     help="int8 KV cache (halves decode HBM traffic)")
+    ap.add_argument(
+        "--spec_window", type=int, default=0,
+        help="prompt-lookup speculative lockstep decode (greedy; >=2 enables "
+        "per-slot drafting — exact same tokens; see serving/speculative.py)",
+    )
     args = ap.parse_args(argv)
 
     questions = list(args.question)
@@ -89,6 +94,7 @@ def main(argv=None):
         max_new_tokens=args.max_new_tokens,
         max_eval_frames=args.max_frames,
         act_quant=(args.quantize == "int8-all"),
+        spec_window=args.spec_window,
     )
     t1 = time.time()
     answers = predictor.answer_many(

@@ -470,9 +470,14 @@ class TDCPredictor:
                 None if atok is None else atok[None].astype(cfg.dtype),
             )
             Lb = int(np.ceil(max(int(mm["seq_len"][0]), 1) / 128) * 128)
-            prefixes.append((mm["embeds"][:, :Lb], mm["attn_mask"][:, :Lb]))
+            prefixes.append(
+                (mm["embeds"][:, :Lb], mm["attn_mask"][:, :Lb], np.asarray(ids, np.int32))
+            )
 
-        capacity = int(np.ceil((max(p[0].shape[1] for p in prefixes) + mnt) / 128) * 128)
+        # spec headroom: keep the full mnt budget despite the engine reserving
+        # window-1 slots for uncommitted verify tails
+        cap_pad = mnt + max(self.spec_window - 1, 0)
+        capacity = int(np.ceil((max(p[0].shape[1] for p in prefixes) + cap_pad) / 128) * 128)
         eng = DecodeEngine(
             cfg,
             self.params,
@@ -481,9 +486,14 @@ class TDCPredictor:
             attn_impl=self.attn_impl,
             kv_quant=kv_quant or self.kv_quant,
             act_quant=self.act_quant,
+            spec_window=self.spec_window,
+            spec_ngram=self.spec_ngram,
         )
-        for i, (embeds, amask) in enumerate(prefixes):
-            eng.submit(Request(embeds=embeds, attn_mask=amask, max_new_tokens=mnt, uid=i))
+        for i, (embeds, amask, pids) in enumerate(prefixes):
+            eng.submit(Request(
+                embeds=embeds, attn_mask=amask, max_new_tokens=mnt, uid=i,
+                prompt_ids=pids,
+            ))
         done = eng.run()
         by_uid = {r.uid: r for r in done}
         return [self.tok.decode(by_uid[i].tokens).strip() for i in range(len(prefixes))]

@@ -16,7 +16,11 @@ TPU design notes:
   or harvest, amortizing dispatch latency;
 * inactive slots ride through the batched matmuls masked (models/lm.py
   decode_step(active=...)) — idle slots cost FLOPs but no correctness or
-  compile-count complexity, the right trade at small slot counts.
+  compile-count complexity, the right trade at small slot counts;
+* spec_window >= 2 swaps the per-token lockstep for a K-token verify
+  lockstep (models/lm.verify_step) with per-slot prompt-lookup drafts
+  (serving/speculative.py): slots at different acceptance rates advance
+  independently inside the same compile, still exact greedy.
 """
 
 from __future__ import annotations
@@ -45,6 +49,11 @@ class Request:
     attn_mask: jnp.ndarray  # [1, L] bool
     max_new_tokens: int = 64
     uid: Any = None
+    # optional TEXT token ids of the prompt, used only to seed prompt-lookup
+    # drafting when the engine runs with spec_window >= 2 (the packed
+    # multimodal embeds have no token identity).  None = draft from the
+    # generated tokens alone (self-speculation).
+    prompt_ids: Optional[np.ndarray] = None
     # filled by the engine
     tokens: List[int] = field(default_factory=list)
     done: bool = False
@@ -82,6 +91,8 @@ class DecodeEngine:
         attn_impl: str = "xla",
         kv_quant: Optional[str] = None,  # "int8": halve shared-cache HBM traffic
         act_quant: bool = False,  # int8 MXU prefill (decode stays weight-only)
+        spec_window: int = 0,  # >=2: speculative lockstep decode (greedy)
+        spec_ngram: int = 3,
     ):
         self.cfg = cfg
         self.params = params
@@ -91,6 +102,8 @@ class DecodeEngine:
         self.attn_impl = attn_impl
         self.kv_quant = kv_quant
         self.act_quant = act_quant
+        self.spec_window = spec_window
+        self.spec_ngram = spec_ngram
 
         self.cache = lm_mod.init_kv_cache(cfg.lm, num_slots, capacity, cfg.dtype, quant=kv_quant)
         self._requests: List[Optional[Request]] = [None] * num_slots
@@ -100,6 +113,14 @@ class DecodeEngine:
         self._queue: List[Request] = []
         self._finished: List[Request] = []
         self.steps = 0  # jitted chunk invocations (for tests/telemetry)
+
+        if spec_window >= 2:
+            # per-slot token history for prompt-lookup drafting: prompt TEXT
+            # ids (<= capacity by the admit check) + generated tokens
+            self._hist_cap = capacity + spec_window + 1
+            self._hist = jnp.zeros((num_slots, self._hist_cap), jnp.int32)
+            self._hist_len = jnp.zeros((num_slots,), jnp.int32)
+            self._jchunk_spec = jax.jit(self._decode_chunk_spec)
 
         self._jprefill = jax.jit(self._prefill_one, static_argnums=(3,))
         self._jchunk = jax.jit(self._decode_chunk)
@@ -138,6 +159,52 @@ class DecodeEngine:
         )
         return cache, tok, active, budget, toks.T  # [slots, chunk]
 
+    def _decode_chunk_spec(self, params, cache, tok, active, budget, hist, hist_len):
+        """Speculative lockstep chunk: each scan iteration is ONE K-token
+        verify forward over all slots (models/lm.verify_step) with per-slot
+        prompt-lookup drafts and per-slot accept counts — slots at different
+        acceptance rates advance independently inside the same compile.
+        Emits up to chunk_tokens * window tokens per chunk; the host packs
+        the ragged (greedy, m) pairs in _harvest_spec."""
+        from .speculative import accept_and_emit, propose_ngram
+
+        eos = jnp.asarray(self.cfg.lm.eos_token_ids, jnp.int32)
+        K = self.spec_window
+        srange = jnp.arange(self.num_slots)
+
+        def body(carry, _):
+            cache, tok, active, budget, hist, hist_len = carry
+            draft, _ = propose_ngram(hist, hist_len, self.spec_ngram, K - 1)
+            tokens = jnp.concatenate([tok[:, None], draft], axis=1)
+            embeds = lm_mod.embed_tokens(self.cfg.lm, params["lm"], tokens, self.cfg.dtype)
+            logits, cache = lm_mod.verify_step(
+                self.cfg.lm, params["lm"], embeds, cache,
+                attn_impl=self.attn_impl, dtype=self.cfg.dtype,
+            )
+            g = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [slots, K]
+            m, eos_emitted = accept_and_emit(g, draft, eos, budget, ~active)
+            for j in range(K):
+                sel = j < m
+                hpos = jnp.minimum(hist_len + j, self._hist_cap - 1)
+                hist = hist.at[srange, hpos].set(
+                    jnp.where(sel, g[:, j], hist[srange, hpos])
+                )
+            hist_len = hist_len + m
+            cache = lm_mod.commit_verified(cache, m)
+            new_last = jnp.take_along_axis(
+                g, jnp.maximum(m - 1, 0)[:, None], axis=1
+            )[:, 0]
+            tok = jnp.where(m > 0, new_last, tok)
+            budget = budget - m
+            active = active & ~eos_emitted & (budget > 0)
+            return (cache, tok, active, budget, hist, hist_len), (g, m)
+
+        (cache, tok, active, budget, hist, hist_len), (gs, ms) = jax.lax.scan(
+            body, (cache, tok, active, budget, hist, hist_len), None,
+            length=self.chunk_tokens,
+        )
+        return cache, tok, active, budget, hist, hist_len, gs, ms
+
     # -- host-side engine ---------------------------------------------------
 
     def submit(self, req: Request):
@@ -160,8 +227,12 @@ class DecodeEngine:
             # Each decode step writes KV at position `lengths`; generating G
             # post-prefill tokens needs L+G <= capacity, else decode_step's
             # write_pos clamp (models/lm.py) would silently overwrite the last
-            # cache row every step.  Truncate the budget to what fits.
-            budget = min(req.max_new_tokens - 1, self.capacity - L)
+            # cache row every step.  Truncate the budget to what fits.  A
+            # speculative verify additionally writes its whole K-window before
+            # acceptance, so reserve K-1 slots of headroom too (a clamped tail
+            # write must land on an uncommitted slot).
+            headroom = max(self.spec_window - 1, 0)
+            budget = min(req.max_new_tokens - 1, self.capacity - L - headroom)
             if first_i in self.cfg.lm.eos_token_ids or budget <= 0:
                 req.done = True
                 self._finished.append(req)
@@ -170,6 +241,17 @@ class DecodeEngine:
             self._budget[slot] = budget
             self._last_tok = self._last_tok.at[slot].set(first_i)
             self._active = self._active.at[slot].set(True)
+            if self.spec_window >= 2:
+                ids = req.prompt_ids
+                row = jnp.zeros((self._hist_cap,), jnp.int32)
+                n = 0
+                if ids is not None:
+                    ids = np.asarray(ids, np.int32).reshape(-1)[: self.capacity]
+                    n = len(ids)
+                    row = row.at[:n].set(jnp.asarray(ids))
+                row = row.at[n].set(first_i)
+                self._hist = self._hist.at[slot].set(row)
+                self._hist_len = self._hist_len.at[slot].set(n + 1)
 
     def _harvest(self, toks: np.ndarray, budget_before: np.ndarray):
         for slot in range(self.num_slots):
@@ -178,6 +260,21 @@ class DecodeEngine:
                 continue
             n = int(budget_before[slot] - self._budget[slot])  # active steps taken
             req.tokens.extend(int(t) for t in toks[slot][:n])
+            if not bool(self._active[slot]):
+                req.done = True
+                self._finished.append(req)
+                self._requests[slot] = None
+
+    def _harvest_spec(self, gs: np.ndarray, ms: np.ndarray):
+        """Pack the ragged speculative chunk output: iteration i of slot s
+        emitted gs[i, s, :ms[i, s]]."""
+        for slot in range(self.num_slots):
+            req = self._requests[slot]
+            if req is None:
+                continue
+            for i in range(gs.shape[0]):
+                n = int(ms[i, slot])
+                req.tokens.extend(int(t) for t in gs[i, slot, :n])
             if not bool(self._active[slot]):
                 req.done = True
                 self._finished.append(req)
@@ -195,6 +292,18 @@ class DecodeEngine:
                     # stranding it.
                     continue
                 break
+            if self.spec_window >= 2:
+                (
+                    self.cache, self._last_tok, self._active, budget,
+                    self._hist, self._hist_len, gs, ms,
+                ) = self._jchunk_spec(
+                    self.params, self.cache, self._last_tok, self._active,
+                    jnp.asarray(self._budget), self._hist, self._hist_len,
+                )
+                self._budget = np.array(budget)
+                self.steps += 1
+                self._harvest_spec(np.asarray(gs), np.asarray(ms))
+                continue
             budget_before = self._budget.copy()
             self.cache, self._last_tok, self._active, budget, toks = self._jchunk(
                 self.params, self.cache, self._last_tok, self._active,

@@ -134,3 +134,94 @@ class TestCapacityAndQueueDrain:
         done = eng.run()
         assert sorted(r.uid for r in done) == sorted(uids)
         assert all(len(r.tokens) == 1 for r in done)
+
+
+class TestSpeculativeEngine:
+    """spec_window >= 2 swaps the lockstep decode_step for a K-token
+    verify_step with per-slot prompt-lookup drafts and per-slot accept
+    counts (serving/speculative.py) — outputs must stay token-identical to
+    the plain engine / solo greedy."""
+
+    def _spec_req(self, cfg, params, ids, max_new):
+        r = _req(cfg, params, ids, max_new)
+        r.prompt_ids = np.asarray(ids, np.int32)
+        return r
+
+    def test_matches_solo_greedy_staggered(self, setup):
+        cfg, params = setup
+        rng = np.random.default_rng(21)
+        # one random prompt (low acceptance), one repetitive (high acceptance)
+        ids_a = rng.integers(2, 90, 9)
+        ids_b = np.asarray([4, 9, 17] * 4, np.int64)
+        solo_a = _solo(cfg, params, ids_a, 12)
+        solo_b = _solo(cfg, params, ids_b, 12)
+        eng = DecodeEngine(
+            cfg, params, num_slots=2, capacity=64, chunk_tokens=3, spec_window=4
+        )
+        eng.submit(self._spec_req(cfg, params, ids_a, 12))
+        done = []
+        # admit + one spec chunk, then submit the second mid-flight
+        eng._admit()
+        (
+            eng.cache, eng._last_tok, eng._active, budget,
+            eng._hist, eng._hist_len, gs, ms,
+        ) = eng._jchunk_spec(
+            eng.params, eng.cache, eng._last_tok, eng._active,
+            jnp.asarray(eng._budget), eng._hist, eng._hist_len,
+        )
+        eng._budget = np.array(budget)
+        eng._harvest_spec(np.asarray(gs), np.asarray(ms))
+        eng.submit(self._spec_req(cfg, params, ids_b, 12))
+        done = eng.run()
+        by_uid = {r.uid: r.tokens for r in done}
+        assert by_uid[tuple(np.asarray(ids_a, np.int32))] == solo_a
+        assert by_uid[tuple(np.asarray(ids_b, np.int32))] == solo_b
+
+    def test_no_prompt_ids_degrades_gracefully(self, setup):
+        """prompt_ids=None -> self-speculation over generated tokens only;
+        output still exact."""
+        cfg, params = setup
+        rng = np.random.default_rng(22)
+        ids = rng.integers(2, 90, 7)
+        solo = _solo(cfg, params, ids, 10)
+        eng = DecodeEngine(
+            cfg, params, num_slots=1, capacity=64, chunk_tokens=4, spec_window=4
+        )
+        eng.submit(_req(cfg, params, ids, 10))  # no prompt_ids
+        done = eng.run()
+        assert done[0].tokens == solo
+
+    def test_budget_respects_spec_headroom(self, setup):
+        """Near-capacity requests truncate the budget by window-1 extra slots
+        so an uncommitted verify tail can never clobber a committed row."""
+        cfg, params = setup
+        rng = np.random.default_rng(23)
+        eng = DecodeEngine(
+            cfg, params, num_slots=1, capacity=24, chunk_tokens=4, spec_window=4
+        )
+        req = self._spec_req(cfg, params, rng.integers(2, 50, 18), 64)
+        eng.submit(req)
+        done = eng.run()
+        assert len(done) == 1
+        assert len(done[0].tokens) <= 1 + (24 - 18 - 3)
+        # the emitted prefix must equal solo greedy over the same budget
+        solo = _solo(cfg, params, np.asarray(req.uid), 64)
+        assert done[0].tokens == solo[: len(done[0].tokens)]
+
+    def test_int8_kv_spec_engine(self, setup):
+        cfg, params = setup
+        rng = np.random.default_rng(24)
+        ids = np.asarray([5, 11, 29] * 3, np.int64)
+        eng8 = DecodeEngine(
+            cfg, params, num_slots=2, capacity=64, chunk_tokens=4,
+            spec_window=4, kv_quant="int8",
+        )
+        plain8 = DecodeEngine(
+            cfg, params, num_slots=2, capacity=64, chunk_tokens=4,
+            kv_quant="int8",
+        )
+        for e in (eng8, plain8):
+            e.submit(self._spec_req(cfg, params, ids, 10))
+        a = eng8.run()[0].tokens
+        b = plain8.run()[0].tokens
+        assert a == b
