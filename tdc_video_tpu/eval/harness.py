@@ -246,6 +246,7 @@ def build_predictor(args) -> TDCPredictor:
         max_new_tokens=args.max_new_tokens,
         max_eval_frames=args.max_frames,
         device_preprocess=args.device_preprocess,
+        spec_window=getattr(args, "spec_window", 0),
     )
 
 
@@ -277,6 +278,12 @@ def main(argv=None):
     ap.add_argument(
         "--quantize", default=None, choices=["int8"],
         help="weight-only int8 LM for faster decode",
+    )
+    ap.add_argument(
+        "--spec_window", type=int, default=0,
+        help="prompt-lookup speculative decoding window (eval decode is "
+        "greedy, so answers are token-identical; pays off for long answers "
+        "— LVCoT / open-ended benchmarks)",
     )
     args = ap.parse_args(argv)
 

@@ -117,6 +117,24 @@ def batch_spec(batch: Params) -> Params:
     )
 
 
+def kv_cache_spec(cache: Params) -> Params:
+    """PartitionSpec tree for a models.lm.init_kv_cache dict under tensor
+    parallelism: K/V (and their int8 scales) shard the kv-head axis over
+    `model` — the same axis the attention heads are sharded on by
+    lm_param_spec, so decode reads/writes its cache shard locally with zero
+    collectives; mask/lengths are tiny and replicated."""
+    spec = {
+        "k": P(None, None, None, MODEL_AXIS, None),
+        "v": P(None, None, None, MODEL_AXIS, None),
+        "mask": P(),
+        "lengths": P(),
+    }
+    if "k_scale" in cache:  # int8 KV: [L, B, S, KVH] per-token-per-head scales
+        spec["k_scale"] = P(None, None, None, MODEL_AXIS)
+        spec["v_scale"] = P(None, None, None, MODEL_AXIS)
+    return spec
+
+
 def shard_tree(tree: Params, spec: Params, mesh: Mesh) -> Params:
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, spec

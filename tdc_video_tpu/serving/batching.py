@@ -20,7 +20,12 @@ TPU design notes:
 * spec_window >= 2 swaps the per-token lockstep for a K-token verify
   lockstep (models/lm.verify_step) with per-slot prompt-lookup drafts
   (serving/speculative.py): slots at different acceptance rates advance
-  independently inside the same compile, still exact greedy.
+  independently inside the same compile, still exact greedy;
+* mesh=... serves tensor-parallel: params sharded with lm_param_spec, the
+  shared KV cache sharded over the same `model` axis as the heads
+  (parallel.sharding.kv_cache_spec) so cache reads/writes stay local, and
+  GSPMD inserts the one reduce per layer on ICI — multi-request serving of
+  models one chip cannot hold.
 """
 
 from __future__ import annotations
@@ -93,6 +98,8 @@ class DecodeEngine:
         act_quant: bool = False,  # int8 MXU prefill (decode stays weight-only)
         spec_window: int = 0,  # >=2: speculative lockstep decode (greedy)
         spec_ngram: int = 3,
+        mesh=None,  # jax.sharding.Mesh: tensor-parallel serving (params must
+        # already be sharded with parallel.sharding.lm_param_spec over it)
     ):
         self.cfg = cfg
         self.params = params
@@ -104,12 +111,21 @@ class DecodeEngine:
         self.act_quant = act_quant
         self.spec_window = spec_window
         self.spec_ngram = spec_ngram
+        self.mesh = mesh
 
         self.cache = lm_mod.init_kv_cache(cfg.lm, num_slots, capacity, cfg.dtype, quant=kv_quant)
+        if mesh is not None:
+            # Shard the shared cache over the same `model` axis as the
+            # attention heads (zero-collective cache reads/writes) and pin the
+            # small per-slot state replicated on the mesh so every jitted
+            # chunk sees colocated inputs.
+            from ..parallel.sharding import kv_cache_spec, shard_tree
+
+            self.cache = shard_tree(self.cache, kv_cache_spec(self.cache), mesh)
         self._requests: List[Optional[Request]] = [None] * num_slots
         self._budget = np.zeros(num_slots, np.int32)  # tokens remaining
-        self._last_tok = jnp.zeros((num_slots,), jnp.int32)
-        self._active = jnp.zeros((num_slots,), jnp.bool_)
+        self._last_tok = self._rep(jnp.zeros((num_slots,), jnp.int32))
+        self._active = self._rep(jnp.zeros((num_slots,), jnp.bool_))
         self._queue: List[Request] = []
         self._finished: List[Request] = []
         self.steps = 0  # jitted chunk invocations (for tests/telemetry)
@@ -118,12 +134,21 @@ class DecodeEngine:
             # per-slot token history for prompt-lookup drafting: prompt TEXT
             # ids (<= capacity by the admit check) + generated tokens
             self._hist_cap = capacity + spec_window + 1
-            self._hist = jnp.zeros((num_slots, self._hist_cap), jnp.int32)
-            self._hist_len = jnp.zeros((num_slots,), jnp.int32)
+            self._hist = self._rep(jnp.zeros((num_slots, self._hist_cap), jnp.int32))
+            self._hist_len = self._rep(jnp.zeros((num_slots,), jnp.int32))
             self._jchunk_spec = jax.jit(self._decode_chunk_spec)
 
         self._jprefill = jax.jit(self._prefill_one, static_argnums=(3,))
         self._jchunk = jax.jit(self._decode_chunk)
+
+    def _rep(self, x):
+        """Replicate a small state array onto the serving mesh (no-op
+        single-device): jitted chunks need all inputs colocated."""
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(x, NamedSharding(self.mesh, P()))
 
     # -- jitted kernels -----------------------------------------------------
 
@@ -220,7 +245,9 @@ class DecodeEngine:
             L = req.embeds.shape[1]
             if L > self.capacity:
                 raise ValueError(f"prompt length {L} exceeds capacity {self.capacity}")
-            first, cache1 = self._jprefill(self.params, req.embeds, req.attn_mask, L)
+            first, cache1 = self._jprefill(
+                self.params, self._rep(req.embeds), self._rep(req.attn_mask), L
+            )
             self.cache = _insert_cache(self.cache, cache1, slot)
             first_i = int(first[0])
             req.tokens.append(first_i)

@@ -211,3 +211,86 @@ class TestShardedEncode:
         mesh = make_mesh(8, 1)
         with pytest.raises(ValueError):
             StreamingEncoder(cfg, params, chunk_frames=12, mesh=mesh)
+
+
+class TestTPEngine:
+    """Tensor-parallel continuous batching: DecodeEngine(mesh=...) shards the
+    KV cache over the same `model` axis as the attention heads
+    (parallel.sharding.kv_cache_spec) — multi-request serving of models too
+    big for one chip.  Outputs must stay token-identical to the single-device
+    engine."""
+
+    def _setup(self):
+        from tdc_video_tpu.models import lm as lm_mod
+
+        cfg = tdc_tiny()
+        lm_params = lm_mod.init_lm(jax.random.PRNGKey(0), cfg.lm, dtype=jnp.float32)
+        return cfg, {"lm": lm_params}
+
+    def _req(self, cfg, params, ids, max_new, with_pids=False):
+        from tdc_video_tpu.models import lm as lm_mod
+        from tdc_video_tpu.serving.batching import Request
+
+        ids = jnp.asarray(np.asarray(ids)[None], jnp.int32)
+        embeds = lm_mod.embed_tokens(cfg.lm, params["lm"], ids, cfg.dtype)
+        return Request(
+            embeds=embeds, attn_mask=jnp.ones(ids.shape, bool),
+            max_new_tokens=max_new, uid=tuple(np.asarray(ids[0])),
+            prompt_ids=np.asarray(ids[0]) if with_pids else None,
+        )
+
+    @pytest.mark.parametrize("spec_window", [0, 4])
+    def test_tp_engine_matches_plain(self, spec_window):
+        from tdc_video_tpu.serving.batching import DecodeEngine
+
+        cfg, params = self._setup()
+        mesh = make_mesh(4, 2)
+        sharded = {"lm": shard_tree(params["lm"], lm_param_spec(params["lm"]), mesh)}
+        rng = np.random.default_rng(31)
+        prompts = [rng.integers(2, 90, 9), np.asarray([4, 9, 17] * 4)]
+
+        def run(p, m):
+            eng = DecodeEngine(
+                cfg, p, num_slots=2, capacity=64, chunk_tokens=4,
+                spec_window=spec_window, mesh=m,
+            )
+            for ids in prompts:
+                eng.submit(self._req(cfg, p, ids, 10, with_pids=spec_window > 0))
+            return {r.uid: r.tokens for r in eng.run()}
+
+        plain = run(params, None)
+        with mesh:
+            tp = run(sharded, mesh)
+        assert tp == plain
+        # the TP engine's cache must actually be distributed
+        # (replicated-cache TP would silently burn HBM x mesh size)
+
+    def test_tp_engine_cache_is_sharded(self):
+        from tdc_video_tpu.serving.batching import DecodeEngine
+
+        cfg, params = self._setup()
+        mesh = make_mesh(4, 2)
+        sharded = {"lm": shard_tree(params["lm"], lm_param_spec(params["lm"]), mesh)}
+        eng = DecodeEngine(cfg, sharded, num_slots=2, capacity=64, mesh=mesh)
+        from jax.sharding import PartitionSpec as P
+
+        assert eng.cache["k"].sharding.spec == P(None, None, None, "model", None)
+        assert len(eng.cache["k"].sharding.device_set) == 8
+
+    def test_tp_engine_int8_kv(self):
+        from tdc_video_tpu.serving.batching import DecodeEngine
+
+        cfg, params = self._setup()
+        mesh = make_mesh(4, 2)
+        sharded = {"lm": shard_tree(params["lm"], lm_param_spec(params["lm"]), mesh)}
+        ids = np.asarray([5, 11, 29] * 3)
+        plain = DecodeEngine(cfg, params, num_slots=1, capacity=64, kv_quant="int8")
+        plain.submit(self._req(cfg, params, ids, 10))
+        ref = plain.run()[0].tokens
+        with mesh:
+            tp = DecodeEngine(
+                cfg, sharded, num_slots=1, capacity=64, kv_quant="int8", mesh=mesh
+            )
+            tp.submit(self._req(cfg, sharded, ids, 10))
+            got = tp.run()[0].tokens
+        assert got == ref
