@@ -412,13 +412,20 @@ class TDCPredictor:
         video_uid: Optional[str] = None,
         num_slots: int = 4,
         kv_quant: Optional[str] = None,
+        prefix_share_threshold: int = 256,
     ) -> List[str]:
         """Answer several questions about ONE video through the
         continuous-batching DecodeEngine (serving/batching.py): the towers run
         once, each question compresses and prefills into its own cache slot,
         and all decodes share one lockstep loop.  Capability upgrade over the
         reference's one-request-at-a-time generate
-        (tdc/language_model/cambrian_qwen.py:441-457)."""
+        (tdc/language_model/cambrian_qwen.py:441-457).
+
+        Prompts for the same video share everything up to the question text
+        (template head + ~3.6k packed video tokens); when that common embed
+        prefix is at least `prefix_share_threshold` tokens, it is prefilled
+        ONCE and each question extends only its own suffix
+        (models/lm.extend_prefill via Request.prefix_key)."""
         from ..compress.aspect import frame_token_layout
         from ..serving.batching import DecodeEngine, Request
 
@@ -474,6 +481,22 @@ class TDCPredictor:
                 (mm["embeds"][:, :Lb], mm["attn_mask"][:, :Lb], np.asarray(ids, np.int32))
             )
 
+        # Longest common embed prefix across the requests (the shared video
+        # prompt), capped one below the shortest valid length so every
+        # request keeps at least one suffix token.
+        shared_p = 0
+        if len(prefixes) > 1:
+            e0 = np.asarray(prefixes[0][0], np.float32)[0]
+            lim = int(np.asarray(prefixes[0][1]).sum()) - 1
+            for e, m, _ in prefixes[1:]:
+                e = np.asarray(e, np.float32)[0]
+                n = min(lim, e.shape[0], int(np.asarray(m).sum()) - 1)
+                eq = np.all(e0[:n] == e[:n], axis=-1)
+                lim = n if eq.all() else int(np.argmin(eq))
+            shared_p = max(lim, 0)
+        if shared_p < prefix_share_threshold:
+            shared_p = 0
+
         # spec headroom: keep the full mnt budget despite the engine reserving
         # window-1 slots for uncommitted verify tails
         cap_pad = mnt + max(self.spec_window - 1, 0)
@@ -493,6 +516,7 @@ class TDCPredictor:
             eng.submit(Request(
                 embeds=embeds, attn_mask=amask, max_new_tokens=mnt, uid=i,
                 prompt_ids=pids,
+                prefix_key="video" if shared_p else None, prefix_len=shared_p,
             ))
         done = eng.run()
         by_uid = {r.uid: r for r in done}

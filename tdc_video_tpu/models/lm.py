@@ -502,6 +502,17 @@ def verify_step(
     (callers allocate `window` slots of headroom; a clamped tail write would
     corrupt an already-committed slot).  Returns (logits [B, K, V], cache).
     """
+    hidden, cache = _window_forward(
+        cfg, params, token_embeds, cache, attn_impl=attn_impl, dtype=dtype
+    )
+    return lm_head(cfg, params, hidden), cache
+
+
+def _window_forward(cfg, params, token_embeds, cache, attn_impl, dtype):
+    """Shared body of verify_step/extend_prefill: forward a K-token window
+    sitting at the per-sample cache tails (window token j at absolute
+    position lengths+j, attending committed cache + its causal window);
+    K/V written above lengths but NOT committed.  Returns (hidden, cache)."""
     B, K, _ = token_embeds.shape
     S = cache["k"].shape[2]
     lengths = cache["lengths"]
@@ -513,7 +524,7 @@ def verify_step(
         col <= lengths[:, None, None] + offs[..., None]
     )  # [B, K, S]
     attn_mask = (cache["mask"][:, None, :] | window)[:, None]  # [B,1,K,S]
-    hidden, cache = lm_backbone(
+    return lm_backbone(
         cfg,
         params,
         token_embeds,
@@ -525,7 +536,6 @@ def verify_step(
         dtype=dtype,
         verify=True,
     )
-    return lm_head(cfg, params, hidden), cache
 
 
 def commit_verified(cache: Dict, accept: jnp.ndarray) -> Dict:
@@ -541,3 +551,34 @@ def commit_verified(cache: Dict, accept: jnp.ndarray) -> Dict:
         mask=cache["mask"] | new,
         lengths=lengths + accept.astype(lengths.dtype),
     )
+
+
+def extend_prefill(
+    cfg: LMConfig,
+    params: Params,
+    token_embeds: jnp.ndarray,  # [B, K, H] right-padded suffix
+    n_valid: jnp.ndarray,  # [B] true suffix lengths (<= K)
+    cache: Dict,
+    attn_impl: str = "xla",
+    dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, Dict]:
+    """Continue a prefill from the cache tail: process a (padded) K-token
+    suffix in one forward over an already-prefilled cache and commit exactly
+    `n_valid` tokens.  Same mask/position math as `verify_step` — suffix
+    token j sits at absolute position lengths+j and attends the committed
+    cache plus its own causal window — so the committed K/V and the returned
+    next-token logits are identical to prefilling prefix+suffix in one shot.
+
+    This is what makes shared-prefix serving cheap (serving/batching.py
+    prefix_key): a multi-question video prompt shares everything up to the
+    question text, so the ~3.6k-token video prefix prefills ONCE and each
+    question pays only its own ~100-token suffix.  The reference re-runs the
+    full prompt per question (tdc/language_model/cambrian_qwen.py:441-457).
+    Requires lengths + K <= capacity.  Returns (logits [B, V] at the last
+    valid suffix token, committed cache)."""
+    hidden, cache = _window_forward(
+        cfg, params, token_embeds, cache, attn_impl=attn_impl, dtype=dtype
+    )
+    idx = jnp.maximum(n_valid - 1, 0)[:, None, None]  # [B,1,1]
+    last = jnp.take_along_axis(hidden, idx, axis=1)  # [B,1,H]
+    return lm_head(cfg, params, last)[:, 0], commit_verified(cache, n_valid)

@@ -59,6 +59,14 @@ class Request:
     # multimodal embeds have no token identity).  None = draft from the
     # generated tokens alone (self-speculation).
     prompt_ids: Optional[np.ndarray] = None
+    # shared-prefix admission: requests carrying the same prefix_key declare
+    # that embeds[:, :prefix_len] are IDENTICAL across them (e.g. the packed
+    # video tokens + template head of a multi-question prompt).  The engine
+    # prefills that prefix once per key and admits each request by extending
+    # only its suffix (models/lm.extend_prefill) — the dominant serving cost
+    # for multi-question video QA.
+    prefix_key: Any = None
+    prefix_len: int = 0
     # filled by the engine
     tokens: List[int] = field(default_factory=list)
     done: bool = False
@@ -128,7 +136,9 @@ class DecodeEngine:
         self._active = self._rep(jnp.zeros((num_slots,), jnp.bool_))
         self._queue: List[Request] = []
         self._finished: List[Request] = []
+        self._prefixes: Dict[Any, Dict] = {}  # prefix_key -> prefilled b1 cache
         self.steps = 0  # jitted chunk invocations (for tests/telemetry)
+        self.prefix_prefills = 0  # telemetry: full-prefix prefills actually run
 
         if spec_window >= 2:
             # per-slot token history for prompt-lookup drafting: prompt TEXT
@@ -139,6 +149,8 @@ class DecodeEngine:
             self._jchunk_spec = jax.jit(self._decode_chunk_spec)
 
         self._jprefill = jax.jit(self._prefill_one, static_argnums=(3,))
+        self._jprefix = jax.jit(self._prefill_prefix)
+        self._jextend = jax.jit(self._extend_one)
         self._jchunk = jax.jit(self._decode_chunk)
 
     def _rep(self, x):
@@ -158,6 +170,29 @@ class DecodeEngine:
             self.cfg.lm, params["lm"], embeds, attn_mask, cache1,
             attn_impl=self.attn_impl, dtype=self.cfg.dtype,
             act_quant=self.act_quant,
+        )
+        return jnp.argmax(logits, -1).astype(jnp.int32), cache1
+
+    def _prefill_prefix(self, params, embeds, attn_mask):
+        """Prefill a shared prefix into a batch-1 cache at FULL engine
+        capacity (so per-request suffixes can extend it in place)."""
+        cache1 = lm_mod.init_kv_cache(
+            self.cfg.lm, 1, self.capacity, self.cfg.dtype, quant=self.kv_quant
+        )
+        _, cache1 = lm_mod.prefill(
+            self.cfg.lm, params["lm"], embeds, attn_mask, cache1,
+            attn_impl=self.attn_impl, dtype=self.cfg.dtype,
+            act_quant=self.act_quant,
+        )
+        return cache1
+
+    def _extend_one(self, params, suffix_embeds, n_valid, cache1):
+        """Admit one request on top of a shared-prefix cache: forward only
+        its suffix (models/lm.extend_prefill) and return the first token +
+        the committed batch-1 cache ready for _insert_cache."""
+        logits, cache1 = lm_mod.extend_prefill(
+            self.cfg.lm, params["lm"], suffix_embeds, n_valid, cache1,
+            attn_impl=self.attn_impl, dtype=self.cfg.dtype,
         )
         return jnp.argmax(logits, -1).astype(jnp.int32), cache1
 
@@ -245,9 +280,38 @@ class DecodeEngine:
             L = req.embeds.shape[1]
             if L > self.capacity:
                 raise ValueError(f"prompt length {L} exceeds capacity {self.capacity}")
-            first, cache1 = self._jprefill(
-                self.params, self._rep(req.embeds), self._rep(req.attn_mask), L
-            )
+            if req.prefix_key is not None and req.prefix_len > 0:
+                p = req.prefix_len
+                if p >= L:
+                    raise ValueError(
+                        f"prefix_len {p} >= prompt length {L}: a request must "
+                        "contribute at least one suffix token"
+                    )
+                if not bool(np.asarray(req.attn_mask[:, :p]).all()):
+                    raise ValueError("shared prefix must be fully valid tokens")
+                if req.prefix_key not in self._prefixes:
+                    self._prefixes[req.prefix_key] = self._jprefix(
+                        self.params,
+                        self._rep(req.embeds[:, :p]),
+                        self._rep(req.attn_mask[:, :p]),
+                    )
+                    self.prefix_prefills += 1
+                n_valid = int(np.asarray(req.attn_mask).sum()) - p
+                if n_valid <= 0:
+                    raise ValueError(
+                        f"prompt valid length {n_valid + p} <= prefix_len {p}: "
+                        "a request must contribute at least one suffix token"
+                    )
+                first, cache1 = self._jextend(
+                    self.params,
+                    self._rep(req.embeds[:, p:]),
+                    self._rep(jnp.asarray([n_valid], jnp.int32)),
+                    self._prefixes[req.prefix_key],
+                )
+            else:
+                first, cache1 = self._jprefill(
+                    self.params, self._rep(req.embeds), self._rep(req.attn_mask), L
+                )
             self.cache = _insert_cache(self.cache, cache1, slot)
             first_i = int(first[0])
             req.tokens.append(first_i)

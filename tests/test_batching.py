@@ -225,3 +225,96 @@ class TestSpeculativeEngine:
         a = eng8.run()[0].tokens
         b = plain8.run()[0].tokens
         assert a == b
+
+
+class TestSharedPrefix:
+    """Shared-prefix admission (Request.prefix_key): prompts sharing their
+    first prefix_len embeds prefill that prefix once; each request extends
+    only its suffix (models/lm.extend_prefill).  Tokens must be identical to
+    full per-request prefill — the KV the suffix path commits sits at the
+    same absolute positions with the same attention pattern."""
+
+    def _shared_reqs(self, cfg, params, max_new=10, with_prefix=True):
+        """Three prompts sharing an 8-token head, distinct 3-5 token tails."""
+        rng = np.random.default_rng(40)
+        head = rng.integers(2, 90, 8)
+        reqs = []
+        for i, tail_len in enumerate((3, 4, 5)):
+            ids = np.concatenate([head, rng.integers(2, 90, tail_len)])
+            r = _req(cfg, params, ids, max_new)
+            if with_prefix:
+                r.prefix_key = "shared"
+                r.prefix_len = 8
+            r.prompt_ids = np.asarray(ids, np.int32)
+            reqs.append(r)
+        return reqs
+
+    def test_matches_full_prefill(self, setup):
+        cfg, params = setup
+        plain = DecodeEngine(cfg, params, num_slots=2, capacity=64, chunk_tokens=4)
+        shared = DecodeEngine(cfg, params, num_slots=2, capacity=64, chunk_tokens=4)
+        for r in self._shared_reqs(cfg, params, with_prefix=False):
+            plain.submit(r)
+        for r in self._shared_reqs(cfg, params):
+            shared.submit(r)
+        ref = {r.uid: r.tokens for r in plain.run()}
+        got = {r.uid: r.tokens for r in shared.run()}
+        assert got == ref
+        assert shared.prefix_prefills == 1  # the prefix prefilled exactly once
+
+    def test_with_spec_and_int8_kv(self, setup):
+        cfg, params = setup
+        ref_eng = DecodeEngine(cfg, params, num_slots=3, capacity=64, chunk_tokens=4)
+        for r in self._shared_reqs(cfg, params, with_prefix=False):
+            ref_eng.submit(r)
+        ref = {r.uid: r.tokens for r in ref_eng.run()}
+        eng = DecodeEngine(
+            cfg, params, num_slots=3, capacity=64, chunk_tokens=4,
+            spec_window=4, kv_quant="int8",
+        )
+        ref8 = DecodeEngine(
+            cfg, params, num_slots=3, capacity=64, chunk_tokens=4,
+            kv_quant="int8",
+        )
+        for r in self._shared_reqs(cfg, params):
+            eng.submit(r)
+        for r in self._shared_reqs(cfg, params, with_prefix=False):
+            ref8.submit(r)
+        got = {r.uid: r.tokens for r in eng.run()}
+        want = {r.uid: r.tokens for r in ref8.run()}
+        # int8-KV spec+prefix engine must match the int8-KV plain engine
+        # (int8 KV itself may drift from bf16 ref; that's tested elsewhere)
+        assert got == want
+
+    def test_prefix_covering_whole_prompt_raises(self, setup):
+        cfg, params = setup
+        eng = DecodeEngine(cfg, params, num_slots=1, capacity=64)
+        r = _req(cfg, params, np.arange(2, 10), 5)
+        r.prefix_key = "k"
+        r.prefix_len = 8  # == full valid length: no suffix token left
+        eng.submit(r)
+        with pytest.raises(ValueError, match="suffix token"):
+            eng.run()
+
+    def test_padded_suffix(self, setup):
+        """Right-padded prompts (mask False tail) through the prefix path:
+        n_valid counts only true tokens."""
+        cfg, params = setup
+        rng = np.random.default_rng(41)
+        head = rng.integers(2, 90, 8)
+        ids = np.concatenate([head, rng.integers(2, 90, 4)])
+        solo = _solo(cfg, params, ids, 8)
+        padded = np.concatenate([ids, np.full(4, cfg.lm.pad_token_id)])
+        from tdc_video_tpu.models.lm import embed_tokens
+
+        embeds = embed_tokens(
+            cfg.lm, params["lm"], jnp.asarray(padded[None], jnp.int32), cfg.dtype
+        )
+        mask = jnp.asarray((np.arange(len(padded)) < len(ids))[None])
+        req = Request(
+            embeds=embeds, attn_mask=mask, max_new_tokens=8, uid=0,
+            prefix_key="p", prefix_len=8,
+        )
+        eng = DecodeEngine(cfg, params, num_slots=1, capacity=64, chunk_tokens=4)
+        eng.submit(req)
+        assert eng.run()[0].tokens == solo

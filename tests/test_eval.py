@@ -325,3 +325,28 @@ class TestAnswerMany:
             predictor.answer(frames, q, video_uid="v1") for q in questions
         ]
         assert batched == solo
+
+        # shared-prefix admission: the common [template head + video tokens]
+        # embed prefix prefills once, each question extends its own suffix —
+        # answers must be unchanged (threshold 1 forces sharing on at tiny
+        # prompt sizes)
+        engines = []
+        from tdc_video_tpu.serving import batching as batching_mod
+
+        real_engine = batching_mod.DecodeEngine
+
+        class SpyEngine(real_engine):
+            def __init__(self, *a, **kw):
+                super().__init__(*a, **kw)
+                engines.append(self)
+
+        batching_mod.DecodeEngine = SpyEngine
+        try:
+            shared = predictor.answer_many(
+                frames, questions, video_uid="v1", num_slots=2,
+                prefix_share_threshold=1,
+            )
+        finally:
+            batching_mod.DecodeEngine = real_engine
+        assert shared == solo
+        assert len(engines) == 1 and engines[0].prefix_prefills == 1
