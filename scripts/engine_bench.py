@@ -7,11 +7,16 @@ lockstep decode is small at the HBM roofline (weights stream once per step
 regardless of batch), so aggregate tok/s should scale nearly linearly until
 the MXU or cache traffic saturates — this script measures where.
 
-Usage: python scripts/engine_bench.py [3b|7b] [kv8] [spec]
+Usage: python scripts/engine_bench.py [3b|7b] [kv8] [spec] [prefix]
 
 `spec` runs the speculative lockstep (spec_window=8) at the full-acceptance
 ceiling (zero weights decode the constant token 0; prompts end in a run of
 0s so every lookup hits — same construction as spec_bench.py).
+
+`prefix` measures shared-prefix admission instead: 4 requests with a
+3584-token common prefix + 128-token distinct suffixes (the multi-question
+video QA shape), full per-request prefill vs prefill-once + per-suffix
+extend (Request.prefix_key).
 """
 import os, sys, time, dataclasses
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -79,11 +84,69 @@ def run(which, lm_cfg, kv_quant, spec=0):
         )
 
 
+def run_prefix(which, lm_cfg, kv_quant):
+    from tdc_video_tpu import config as C
+    from tdc_video_tpu.models import lm as lm_mod
+    from tdc_video_tpu.models.quant import quantize_lm_int8
+    from tdc_video_tpu.serving.batching import DecodeEngine, Request
+
+    cfg = dataclasses.replace(C.tdc_tiny(), lm=lm_cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    shapes = jax.eval_shape(
+        lambda: lm_mod.init_lm(jax.random.PRNGKey(0), lm_cfg, dtype=jnp.bfloat16)
+    )
+    shapes = jax.eval_shape(quantize_lm_int8, shapes)
+    lm_params = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    params = {"lm": lm_params}
+
+    P, SUF, NEW, SLOTS = 3584, 128, 64, 4
+    L = P + SUF
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(5, 1000, (1, L)), jnp.int32)
+    base = lm_mod.embed_tokens(cfg.lm, params["lm"], ids, cfg.dtype)
+    suf_mask = (jnp.arange(L) >= P)[None, :, None].astype(cfg.dtype)
+
+    def make_req(i, share, key):
+        # distinct suffixes, IDENTICAL prefix (the multi-question shape); the
+        # offset also defeats the axon runtime's execution memoization
+        e = base + suf_mask * jnp.asarray(1e-3 * (i + 1), cfg.dtype)
+        return Request(
+            embeds=e, attn_mask=jnp.ones((1, L), bool), max_new_tokens=NEW,
+            uid=i, prefix_key=key if share else None, prefix_len=P if share else 0,
+        )
+
+    cap = int(np.ceil((L + NEW) / 128) * 128)
+    for share in (False, True):
+        eng = DecodeEngine(
+            cfg, params, num_slots=SLOTS, capacity=cap,
+            chunk_tokens=16, attn_impl="flash", kv_quant=kv_quant,
+        )
+        # warm all compiles on a throwaway key, then time with a fresh key so
+        # the shared run pays its one real prefix prefill inside the window
+        eng.submit(make_req(100, share, "warm"))
+        eng.run()
+        reqs = [make_req(i, share, "timed") for i in range(SLOTS)]
+        t0 = time.perf_counter()
+        for r in reqs:
+            eng.submit(r)
+        done = eng.run()
+        dt = time.perf_counter() - t0
+        n_tok = sum(len(r.tokens) for r in done)
+        label = "shared-prefix" if share else "full-prefill "
+        print(
+            f"{which} int8 {label} slots={SLOTS} P={P} suf={SUF}: {n_tok} tokens "
+            f"in {dt*1e3:.0f} ms -> {n_tok/dt:.1f} tok/s aggregate "
+            f"(prefix_prefills={eng.prefix_prefills})"
+        )
+
+
 if __name__ == "__main__":
     from tdc_video_tpu import config as C
 
     which = sys.argv[1] if len(sys.argv) > 1 else "3b"
     lm = C.LLAMA32_3B if which == "3b" else C.QWEN2_7B
     kv = "int8" if "kv8" in sys.argv[2:] else None
-    spec = 8 if "spec" in sys.argv[2:] else 0
-    run(which, lm, kv, spec)
+    if "prefix" in sys.argv[2:]:
+        run_prefix(which, lm, kv)
+    else:
+        spec = 8 if "spec" in sys.argv[2:] else 0
+        run(which, lm, kv, spec)
