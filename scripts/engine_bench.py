@@ -7,7 +7,7 @@ lockstep decode is small at the HBM roofline (weights stream once per step
 regardless of batch), so aggregate tok/s should scale nearly linearly until
 the MXU or cache traffic saturates — this script measures where.
 
-Usage: python scripts/engine_bench.py [3b|7b] [kv8] [spec] [prefix]
+Usage: python scripts/engine_bench.py [3b|7b] [kv8] [spec] [prefix] [stall]
 
 `spec` runs the speculative lockstep (spec_window=8) at the full-acceptance
 ceiling (zero weights decode the constant token 0; prompts end in a run of
@@ -17,6 +17,11 @@ ceiling (zero weights decode the constant token 0; prompts end in a run of
 3584-token common prefix + 128-token distinct suffixes (the multi-question
 video QA shape), full per-request prefill vs prefill-once + per-suffix
 extend (Request.prefix_key).
+
+`stall` measures chunked admission (prefill_chunk): one stream decodes 256
+tokens while 3584-token prompts keep arriving into the second slot; the
+metric is the max gap between decode-chunk harvests — the worst stutter the
+active stream sees — one-shot prefill vs prefill_chunk=512.
 """
 import os, sys, time, dataclasses
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -139,6 +144,60 @@ def run_prefix(which, lm_cfg, kv_quant):
         )
 
 
+def run_stall(which, lm_cfg, kv_quant):
+    from tdc_video_tpu import config as C
+    from tdc_video_tpu.models import lm as lm_mod
+    from tdc_video_tpu.models.quant import quantize_lm_int8
+    from tdc_video_tpu.serving.batching import DecodeEngine, Request
+
+    cfg = dataclasses.replace(C.tdc_tiny(), lm=lm_cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    shapes = jax.eval_shape(
+        lambda: lm_mod.init_lm(jax.random.PRNGKey(0), lm_cfg, dtype=jnp.bfloat16)
+    )
+    shapes = jax.eval_shape(quantize_lm_int8, shapes)
+    lm_params = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    params = {"lm": lm_params}
+
+    P_LONG, P_STREAM, NEW_STREAM, NEW_LONG = 3584, 512, 256, 8
+    rng = np.random.default_rng(0)
+
+    def make_req(i, L, new):
+        ids = jnp.asarray(rng.integers(5, 1000, (1, L)), jnp.int32)
+        e = lm_mod.embed_tokens(cfg.lm, params["lm"], ids, cfg.dtype)
+        e = e + jnp.asarray(1e-3 * (i + 1), cfg.dtype)  # defeat axon memoization
+        return Request(embeds=e, attn_mask=jnp.ones((1, L), bool), max_new_tokens=new, uid=i)
+
+    cap = int(np.ceil((P_LONG + NEW_STREAM) / 128) * 128)
+    for chunk in (0, 512):
+        eng = DecodeEngine(
+            cfg, params, num_slots=2, capacity=cap, chunk_tokens=8,
+            attn_impl="flash", kv_quant=kv_quant, prefill_chunk=chunk,
+        )
+        # warm every compile: stream prefill, long prompt (one-shot AND
+        # chunked ragged-first/full chunks), decode chunk
+        eng.submit(make_req(100, P_STREAM, 4))
+        eng.submit(make_req(101, P_LONG, 2))
+        eng.run()
+        eng.chunk_times.clear()
+        # one long-lived decode stream + arrivals of heavy prompts that each
+        # finish fast and free the slot for the next arrival
+        eng.submit(make_req(0, P_STREAM, NEW_STREAM))
+        for i in range(1, 4):
+            eng.submit(make_req(i, P_LONG, NEW_LONG))
+        t0 = time.perf_counter()
+        done = eng.run()
+        dt = time.perf_counter() - t0
+        gaps = np.diff(np.asarray(eng.chunk_times)) * 1e3
+        n_tok = sum(len(r.tokens) for r in done)
+        label = f"prefill_chunk={chunk}" if chunk else "one-shot prefill "
+        print(
+            f"{which} int8 {label}: {n_tok} tokens in {dt*1e3:.0f} ms; "
+            f"decode-chunk gaps ms: p50={np.percentile(gaps, 50):.0f} "
+            f"p95={np.percentile(gaps, 95):.0f} max={gaps.max():.0f} "
+            f"(chunks={len(gaps) + 1}, prefill_chunks={eng.prefill_chunks})"
+        )
+
+
 if __name__ == "__main__":
     from tdc_video_tpu import config as C
 
@@ -147,6 +206,8 @@ if __name__ == "__main__":
     kv = "int8" if "kv8" in sys.argv[2:] else None
     if "prefix" in sys.argv[2:]:
         run_prefix(which, lm, kv)
+    elif "stall" in sys.argv[2:]:
+        run_stall(which, lm, kv)
     else:
         spec = 8 if "spec" in sys.argv[2:] else 0
         run(which, lm, kv, spec)

@@ -43,6 +43,12 @@ def main(argv=None):
         help="prompt-lookup speculative lockstep decode (greedy; >=2 enables "
         "per-slot drafting — exact same tokens; see serving/speculative.py)",
     )
+    ap.add_argument(
+        "--prefill_chunk", type=int, default=0,
+        help="chunked admission: prefill long prompts N tokens per decode "
+        "chunk so new questions never stall in-flight answers for a whole "
+        "prefill (exact; 0 = one-shot prefill)",
+    )
     args = ap.parse_args(argv)
 
     questions = list(args.question)
@@ -106,6 +112,7 @@ def main(argv=None):
         video_uid=args.video,
         num_slots=args.slots,
         kv_quant=args.kv_quant,
+        prefill_chunk=args.prefill_chunk,
     )
     dt = time.time() - t1
     for q, a in zip(questions, answers):

@@ -64,6 +64,20 @@ class HFTokenizerAdapter:
         return self.tok.decode([int(i) for i in ids], skip_special_tokens=True)
 
 
+def _trim_generated(ids, lm_cfg) -> List[int]:
+    """Cut a raw greedy stream at the first EOS (exclusive).  The fixed-length
+    generate output pads after EOS and the DecodeEngine emits the EOS before
+    stopping; trimming here makes answer() and answer_many() text identical
+    regardless of whether the tokenizer drops special ids on decode."""
+    out = []
+    for t in ids:
+        t = int(t)
+        if t in lm_cfg.eos_token_ids:
+            break
+        out.append(t)
+    return out
+
+
 @dataclass
 class PredictorStats:
     samples: int = 0
@@ -355,7 +369,7 @@ class TDCPredictor:
             jnp.asarray(qp)[None],
             None if atok is None else atok[None].astype(cfg.dtype),
         )
-        toks = np.asarray(toks)[0]
+        toks = _trim_generated(np.asarray(toks)[0], cfg.lm)
         out = self.tok.decode(toks)
         t2 = time.perf_counter()
         self.stats.samples += 1
@@ -413,6 +427,7 @@ class TDCPredictor:
         num_slots: int = 4,
         kv_quant: Optional[str] = None,
         prefix_share_threshold: int = 256,
+        prefill_chunk: int = 0,
     ) -> List[str]:
         """Answer several questions about ONE video through the
         continuous-batching DecodeEngine (serving/batching.py): the towers run
@@ -511,6 +526,7 @@ class TDCPredictor:
             act_quant=self.act_quant,
             spec_window=self.spec_window,
             spec_ngram=self.spec_ngram,
+            prefill_chunk=prefill_chunk,
         )
         for i, (embeds, amask, pids) in enumerate(prefixes):
             eng.submit(Request(
@@ -520,7 +536,10 @@ class TDCPredictor:
             ))
         done = eng.run()
         by_uid = {r.uid: r for r in done}
-        return [self.tok.decode(by_uid[i].tokens).strip() for i in range(len(prefixes))]
+        return [
+            self.tok.decode(_trim_generated(by_uid[i].tokens, cfg.lm)).strip()
+            for i in range(len(prefixes))
+        ]
 
     def answer_video(self, video_path: str, question: str, **kw) -> Optional[str]:
         """Decode + answer; None when the video is unreadable (the reference

@@ -21,6 +21,13 @@ TPU design notes:
   lockstep (models/lm.verify_step) with per-slot prompt-lookup drafts
   (serving/speculative.py): slots at different acceptance rates advance
   independently inside the same compile, still exact greedy;
+* prefill_chunk > 0 interleaves admission with decoding (Sarathi-style):
+  a long prompt prefills `prefill_chunk` tokens per decode chunk via
+  models/lm.extend_prefill, so the decode stall seen by active slots is one
+  chunk's latency, not the whole prompt's.  Chunking commits the same KV and
+  logits as a one-shot prefill up to bf16 reduction order (~0.2% rel, the
+  same epsilon class as flash-vs-XLA attention); greedy output can differ
+  only at near-ties;
 * mesh=... serves tensor-parallel: params sharded with lm_param_spec, the
   shared KV cache sharded over the same `model` axis as the heads
   (parallel.sharding.kv_cache_spec) so cache reads/writes stay local, and
@@ -29,6 +36,8 @@ TPU design notes:
 """
 
 from __future__ import annotations
+
+import time as _time
 
 from dataclasses import dataclass, field
 from functools import partial
@@ -72,6 +81,22 @@ class Request:
     done: bool = False
 
 
+@dataclass
+class _PendingPrefill:
+    """A prefill in flight under chunked admission (prefill_chunk > 0): the
+    engine advances it one chunk per run() iteration, interleaved with decode
+    chunks, so admitting a long prompt never stalls active slots for the
+    whole prefill."""
+
+    req: Request
+    key: Any  # prefix_key being built, or None for a plain prompt
+    embeds: jnp.ndarray  # [1, N, H] the valid tokens still to feed (no pad)
+    total: int  # N
+    cache1: Dict  # capacity-length batch-1 cache being filled
+    pos: int = 0  # tokens committed so far
+    first: Any = None  # last chunk's next-token argmax (valid when pos==total)
+
+
 def _insert_cache(shared: Dict, one: Dict, slot: int) -> Dict:
     """Scatter a batch-1 prefilled cache into `slot` of the shared cache."""
     S1 = one["k"].shape[2]
@@ -106,6 +131,11 @@ class DecodeEngine:
         act_quant: bool = False,  # int8 MXU prefill (decode stays weight-only)
         spec_window: int = 0,  # >=2: speculative lockstep decode (greedy)
         spec_ngram: int = 3,
+        prefill_chunk: int = 0,  # >0: chunked admission — prefill long
+        # prompts `prefill_chunk` tokens at a time, one chunk per decode
+        # chunk, bounding the decode stall of active slots to one chunk's
+        # latency instead of the whole prompt's (Sarathi-style interleaving;
+        # same math as one-shot prefill, bf16 reduction-order epsilon)
         mesh=None,  # jax.sharding.Mesh: tensor-parallel serving (params must
         # already be sharded with parallel.sharding.lm_param_spec over it)
     ):
@@ -119,6 +149,10 @@ class DecodeEngine:
         self.act_quant = act_quant
         self.spec_window = spec_window
         self.spec_ngram = spec_ngram
+        if prefill_chunk < 0 or prefill_chunk > capacity:
+            raise ValueError(f"prefill_chunk {prefill_chunk} not in [0, {capacity}]")
+        self.prefill_chunk = prefill_chunk
+        self._pending: Optional[_PendingPrefill] = None
         self.mesh = mesh
 
         self.cache = lm_mod.init_kv_cache(cfg.lm, num_slots, capacity, cfg.dtype, quant=kv_quant)
@@ -139,6 +173,10 @@ class DecodeEngine:
         self._prefixes: Dict[Any, Dict] = {}  # prefix_key -> prefilled b1 cache
         self.steps = 0  # jitted chunk invocations (for tests/telemetry)
         self.prefix_prefills = 0  # telemetry: full-prefix prefills actually run
+        self.prefill_chunks = 0  # telemetry: chunked-admission extends run
+        self.chunk_times: List[float] = []  # perf_counter after each decode
+        # chunk harvest — gaps between entries are the inter-token latency an
+        # active stream actually sees (admission stalls show up as outliers)
 
         if spec_window >= 2:
             # per-slot token history for prompt-lookup drafting: prompt TEXT
@@ -270,12 +308,43 @@ class DecodeEngine:
     def submit(self, req: Request):
         self._queue.append(req)
 
-    def _admit(self):
+    def _free_slot(self) -> Optional[int]:
         for slot in range(self.num_slots):
-            if not self._queue:
+            if self._requests[slot] is None and not bool(self._active[slot]):
+                return slot
+        return None
+
+    def _start_pending(self, req: Request, key: Any, n: int):
+        """Begin a chunked prefill over embeds[:, :n] (all-valid tokens).
+        The capacity-length batch-1 cache is filled by _advance_pending one
+        prefill_chunk per run() iteration."""
+        self._pending = _PendingPrefill(
+            req=req,
+            key=key,
+            embeds=req.embeds[:, :n],
+            total=n,
+            cache1=lm_mod.init_kv_cache(
+                self.cfg.lm, 1, self.capacity, self.cfg.dtype, quant=self.kv_quant
+            ),
+        )
+
+    def _extend_suffix(self, req: Request, donor: Dict):
+        """Admit a shared-prefix request by extending its suffix over the
+        donor prefix cache (functional: the donor stays reusable)."""
+        p = req.prefix_len
+        n_valid = int(np.asarray(req.attn_mask).sum()) - p
+        return self._jextend(
+            self.params,
+            self._rep(req.embeds[:, p:]),
+            self._rep(jnp.asarray([n_valid], jnp.int32)),
+            donor,
+        )
+
+    def _admit(self):
+        while self._queue and self._pending is None:
+            slot = self._free_slot()
+            if slot is None:
                 return
-            if self._requests[slot] is not None or bool(self._active[slot]):
-                continue
             req = self._queue.pop(0)
             L = req.embeds.shape[1]
             if L > self.capacity:
@@ -289,60 +358,97 @@ class DecodeEngine:
                     )
                 if not bool(np.asarray(req.attn_mask[:, :p]).all()):
                     raise ValueError("shared prefix must be fully valid tokens")
+                if int(np.asarray(req.attn_mask).sum()) - p <= 0:
+                    raise ValueError(
+                        f"prompt valid length <= prefix_len {p}: a request "
+                        "must contribute at least one suffix token"
+                    )
                 if req.prefix_key not in self._prefixes:
+                    if 0 < self.prefill_chunk < p:
+                        self._start_pending(req, req.prefix_key, p)
+                        return
                     self._prefixes[req.prefix_key] = self._jprefix(
                         self.params,
                         self._rep(req.embeds[:, :p]),
                         self._rep(req.attn_mask[:, :p]),
                     )
                     self.prefix_prefills += 1
-                n_valid = int(np.asarray(req.attn_mask).sum()) - p
-                if n_valid <= 0:
-                    raise ValueError(
-                        f"prompt valid length {n_valid + p} <= prefix_len {p}: "
-                        "a request must contribute at least one suffix token"
-                    )
-                first, cache1 = self._jextend(
-                    self.params,
-                    self._rep(req.embeds[:, p:]),
-                    self._rep(jnp.asarray([n_valid], jnp.int32)),
-                    self._prefixes[req.prefix_key],
-                )
+                first, cache1 = self._extend_suffix(req, self._prefixes[req.prefix_key])
             else:
+                mask = np.asarray(req.attn_mask)
+                n = int(mask.sum())
+                # chunked admission needs a right-padded mask (chunks feed the
+                # valid head); anything else falls back to one-shot prefill
+                if 0 < self.prefill_chunk < n and bool(mask[0, :n].all()):
+                    self._start_pending(req, None, n)
+                    return
                 first, cache1 = self._jprefill(
                     self.params, self._rep(req.embeds), self._rep(req.attn_mask), L
                 )
-            self.cache = _insert_cache(self.cache, cache1, slot)
-            first_i = int(first[0])
-            req.tokens.append(first_i)
-            # Each decode step writes KV at position `lengths`; generating G
-            # post-prefill tokens needs L+G <= capacity, else decode_step's
-            # write_pos clamp (models/lm.py) would silently overwrite the last
-            # cache row every step.  Truncate the budget to what fits.  A
-            # speculative verify additionally writes its whole K-window before
-            # acceptance, so reserve K-1 slots of headroom too (a clamped tail
-            # write must land on an uncommitted slot).
-            headroom = max(self.spec_window - 1, 0)
-            budget = min(req.max_new_tokens - 1, self.capacity - L - headroom)
-            if first_i in self.cfg.lm.eos_token_ids or budget <= 0:
-                req.done = True
-                self._finished.append(req)
-                continue
-            self._requests[slot] = req
-            self._budget[slot] = budget
-            self._last_tok = self._last_tok.at[slot].set(first_i)
-            self._active = self._active.at[slot].set(True)
-            if self.spec_window >= 2:
-                ids = req.prompt_ids
-                row = jnp.zeros((self._hist_cap,), jnp.int32)
-                n = 0
-                if ids is not None:
-                    ids = np.asarray(ids, np.int32).reshape(-1)[: self.capacity]
-                    n = len(ids)
-                    row = row.at[:n].set(jnp.asarray(ids))
-                row = row.at[n].set(first_i)
-                self._hist = self._hist.at[slot].set(row)
-                self._hist_len = self._hist_len.at[slot].set(n + 1)
+            self._finish_admission(req, int(first[0]), cache1)
+
+    def _advance_pending(self):
+        """Advance the in-flight chunked prefill by one chunk.  The RAGGED
+        chunk is taken FIRST (k = total % C), so every later window is a full
+        C tokens with write span [pos, pos+C) <= total <= capacity —
+        extend_prefill requires lengths + K <= capacity, and a ragged TAIL
+        chunk would pad past `total` and violate it near capacity."""
+        p = self._pending
+        C = self.prefill_chunk
+        k = (p.total % C or C) if p.pos == 0 else C
+        seg = p.embeds[:, p.pos : p.pos + k]
+        if k < C:
+            seg = jnp.pad(seg, ((0, 0), (0, C - k), (0, 0)))
+        p.first, p.cache1 = self._jextend(
+            self.params, self._rep(seg), self._rep(jnp.asarray([k], jnp.int32)), p.cache1
+        )
+        p.pos += k
+        self.prefill_chunks += 1
+        if p.pos < p.total:
+            return
+        self._pending = None
+        if p.key is not None:
+            self._prefixes[p.key] = p.cache1
+            self.prefix_prefills += 1
+            first, cache1 = self._extend_suffix(p.req, p.cache1)
+            self._finish_admission(p.req, int(first[0]), cache1)
+        else:
+            self._finish_admission(p.req, int(p.first[0]), p.cache1)
+
+    def _finish_admission(self, req: Request, first_i: int, cache1: Dict):
+        slot = self._free_slot()
+        assert slot is not None  # held free: _admit blocks while pending
+        L = req.embeds.shape[1]
+        self.cache = _insert_cache(self.cache, cache1, slot)
+        req.tokens.append(first_i)
+        # Each decode step writes KV at position `lengths`; generating G
+        # post-prefill tokens needs L+G <= capacity, else decode_step's
+        # write_pos clamp (models/lm.py) would silently overwrite the last
+        # cache row every step.  Truncate the budget to what fits.  A
+        # speculative verify additionally writes its whole K-window before
+        # acceptance, so reserve K-1 slots of headroom too (a clamped tail
+        # write must land on an uncommitted slot).
+        headroom = max(self.spec_window - 1, 0)
+        budget = min(req.max_new_tokens - 1, self.capacity - L - headroom)
+        if first_i in self.cfg.lm.eos_token_ids or budget <= 0:
+            req.done = True
+            self._finished.append(req)
+            return
+        self._requests[slot] = req
+        self._budget[slot] = budget
+        self._last_tok = self._last_tok.at[slot].set(first_i)
+        self._active = self._active.at[slot].set(True)
+        if self.spec_window >= 2:
+            ids = req.prompt_ids
+            row = jnp.zeros((self._hist_cap,), jnp.int32)
+            n = 0
+            if ids is not None:
+                ids = np.asarray(ids, np.int32).reshape(-1)[: self.capacity]
+                n = len(ids)
+                row = row.at[:n].set(jnp.asarray(ids))
+            row = row.at[n].set(first_i)
+            self._hist = self._hist.at[slot].set(row)
+            self._hist_len = self._hist_len.at[slot].set(n + 1)
 
     def _harvest(self, toks: np.ndarray, budget_before: np.ndarray):
         for slot in range(self.num_slots):
@@ -374,13 +480,22 @@ class DecodeEngine:
     def run(self) -> List[Request]:
         """Drain the queue + all slots; returns completed requests in finish
         order."""
-        while self._queue or any(r is not None for r in self._requests):
+        while (
+            self._queue
+            or self._pending is not None
+            or any(r is not None for r in self._requests)
+        ):
             self._admit()
+            if self._pending is not None:
+                # one prefill chunk per decode chunk: the in-flight long
+                # prompt advances without stalling active slots for its
+                # whole prefill
+                self._advance_pending()
             if not bool(jnp.any(self._active)):
-                if self._queue:
+                if self._queue or self._pending is not None:
                     # every admitted request finished at prefill (EOS first
-                    # token / budget 0) — keep admitting the queue rather than
-                    # stranding it.
+                    # token / budget 0), or a chunked prefill is still in
+                    # flight — keep going rather than stranding the queue.
                     continue
                 break
             if self.spec_window >= 2:
@@ -394,6 +509,7 @@ class DecodeEngine:
                 self._budget = np.array(budget)
                 self.steps += 1
                 self._harvest_spec(np.asarray(gs), np.asarray(ms))
+                self.chunk_times.append(_time.perf_counter())
                 continue
             budget_before = self._budget.copy()
             self.cache, self._last_tok, self._active, budget, toks = self._jchunk(
@@ -403,5 +519,6 @@ class DecodeEngine:
             self._budget = np.array(budget)
             self.steps += 1
             self._harvest(np.asarray(toks), budget_before)
+            self.chunk_times.append(_time.perf_counter())
         out, self._finished = self._finished, []
         return out

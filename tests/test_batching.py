@@ -296,6 +296,26 @@ class TestSharedPrefix:
         with pytest.raises(ValueError, match="suffix token"):
             eng.run()
 
+    def test_chunked_prefix_build(self, setup):
+        """prefill_chunk < prefix_len: the shared prefix itself is built
+        chunk-by-chunk; tokens and prefix_prefills must match the one-shot
+        build."""
+        cfg, params = setup
+        ref = DecodeEngine(cfg, params, num_slots=2, capacity=64, chunk_tokens=4)
+        eng = DecodeEngine(
+            cfg, params, num_slots=2, capacity=64, chunk_tokens=4, prefill_chunk=3
+        )
+        for r in self._shared_reqs(cfg, params, with_prefix=False):
+            ref.submit(r)
+        for r in self._shared_reqs(cfg, params):
+            eng.submit(r)
+        want = {r.uid: r.tokens for r in ref.run()}
+        got = {r.uid: r.tokens for r in eng.run()}
+        assert got == want
+        assert eng.prefix_prefills == 1
+        # 8-token prefix at chunk 3: ragged-first 2 + 3 + 3
+        assert eng.prefill_chunks == 3
+
     def test_padded_suffix(self, setup):
         """Right-padded prompts (mask False tail) through the prefix path:
         n_valid counts only true tokens."""
@@ -318,3 +338,132 @@ class TestSharedPrefix:
         eng = DecodeEngine(cfg, params, num_slots=1, capacity=64, chunk_tokens=4)
         eng.submit(req)
         assert eng.run()[0].tokens == solo
+
+class TestChunkedPrefill:
+    """prefill_chunk > 0 (Sarathi-style chunked admission): long prompts
+    prefill one chunk per run() iteration via models/lm.extend_prefill,
+    interleaved with decode chunks.  extend_prefill commits the same KV and
+    next-token logits as a single prefill over the full prompt up to bf16
+    reduction order; at this unit scale (tiny dims, short prompts) the greedy
+    streams are token-identical to the one-shot-prefill engine in every
+    mode."""
+
+    def _long_reqs(self, cfg, params, n=4, max_new=8, seed=50):
+        rng = np.random.default_rng(seed)
+        return [
+            _req(cfg, params, rng.integers(2, 90, int(rng.integers(9, 20))), max_new)
+            for _ in range(n)
+        ]
+
+    def test_matches_one_shot_prefill(self, setup):
+        cfg, params = setup
+        plain = DecodeEngine(cfg, params, num_slots=2, capacity=64, chunk_tokens=4)
+        chunked = DecodeEngine(
+            cfg, params, num_slots=2, capacity=64, chunk_tokens=4, prefill_chunk=4
+        )
+        for r in self._long_reqs(cfg, params):
+            plain.submit(r)
+        for r in self._long_reqs(cfg, params):
+            chunked.submit(r)
+        want = {r.uid: r.tokens for r in plain.run()}
+        got = {r.uid: r.tokens for r in chunked.run()}
+        assert got == want
+        assert chunked._pending is None
+        # every prompt is 9-19 tokens > chunk 4, so all went chunked
+        assert chunked.prefill_chunks >= 3 * len(want)
+
+    def test_interleaves_with_active_decode(self, setup):
+        """While a long prompt prefills chunk-by-chunk, the already-active
+        slot keeps emitting decode chunks — admission never monopolizes the
+        loop for the whole prefill."""
+        cfg, params = setup
+        rng = np.random.default_rng(51)
+        short = rng.integers(2, 90, 5)
+        long_ids = rng.integers(2, 90, 17)
+
+        def staggered(prefill_chunk):
+            eng = DecodeEngine(
+                cfg, params, num_slots=2, capacity=64, chunk_tokens=2,
+                prefill_chunk=prefill_chunk,
+            )
+            eng.submit(_req(cfg, params, short, 16))
+            # admit the short request and decode one chunk so slot 0 is active
+            eng._admit()
+            budget_before = eng._budget.copy()
+            eng.cache, eng._last_tok, eng._active, budget, toks = eng._jchunk(
+                eng.params, eng.cache, eng._last_tok, eng._active,
+                jnp.asarray(eng._budget),
+            )
+            eng._budget = np.array(budget)
+            eng.steps += 1
+            eng._harvest(np.asarray(toks), budget_before)
+            eng.steps_at_submit = eng.steps
+            eng.submit(_req(cfg, params, long_ids, 4))
+            return eng, {r.uid: r.tokens for r in eng.run()}
+
+        _, want = staggered(0)
+        eng, got = staggered(4)
+        assert got == want
+        assert set(got) == {tuple(np.asarray(short, np.int32)),
+                            tuple(np.asarray(long_ids, np.int32))}
+        # short prompt: 5 = 1 + 4 -> 2 chunks; long prompt: 17 = 1 (ragged
+        # lead) + 4*4 -> 5 chunks.  Decode chunks ran BETWEEN the long
+        # prompt's prefill chunks (one per run() iteration): the decode-chunk
+        # count must have grown by at least the prefill chunks run while
+        # slot 0 was still decoding.
+        assert eng.prefill_chunks == 7
+        assert eng.steps - eng.steps_at_submit >= 4
+
+    def test_near_capacity_ragged_first_chunk(self, setup):
+        """total % chunk != 0 near capacity: the ragged chunk leads, so no
+        extend window ever writes past `total` (a ragged TAIL would pad past
+        capacity and trip extend_prefill's lengths+K <= capacity bound)."""
+        cfg, params = setup
+        rng = np.random.default_rng(52)
+        ids = rng.integers(2, 90, 23)  # 23 % 4 = 3 ragged lead, capacity 24
+        solo = _solo(cfg, params, ids, 8)
+        eng = DecodeEngine(
+            cfg, params, num_slots=1, capacity=24, chunk_tokens=4, prefill_chunk=4
+        )
+        eng.submit(_req(cfg, params, ids, 8))
+        done = eng.run()
+        assert done[0].tokens == solo[: len(done[0].tokens)]
+        assert len(done[0].tokens) == 1 + (24 - 23)  # budget-truncated
+        assert eng.prefill_chunks == 6  # 3 + 5*4
+
+    def test_padded_prompt_chunked(self, setup):
+        """Right-padded masks go through the chunked path over the valid
+        head only."""
+        cfg, params = setup
+        rng = np.random.default_rng(53)
+        ids = rng.integers(2, 90, 11)
+        solo = _solo(cfg, params, ids, 8)
+        padded = np.concatenate([ids, np.full(5, cfg.lm.pad_token_id)])
+        from tdc_video_tpu.models.lm import embed_tokens
+
+        embeds = embed_tokens(
+            cfg.lm, params["lm"], jnp.asarray(padded[None], jnp.int32), cfg.dtype
+        )
+        mask = jnp.asarray((np.arange(len(padded)) < len(ids))[None])
+        eng = DecodeEngine(
+            cfg, params, num_slots=1, capacity=64, chunk_tokens=4, prefill_chunk=4
+        )
+        eng.submit(Request(embeds=embeds, attn_mask=mask, max_new_tokens=8, uid=0))
+        done = eng.run()
+        assert done[0].tokens == solo
+        assert eng.prefill_chunks == 3  # 11 = 3 + 4 + 4
+
+    def test_spec_engine_chunked(self, setup):
+        """Chunked admission composes with the speculative lockstep."""
+        cfg, params = setup
+        ids = np.asarray([4, 9, 17] * 4, np.int64)
+        solo = _solo(cfg, params, ids, 10)
+        eng = DecodeEngine(
+            cfg, params, num_slots=1, capacity=64, chunk_tokens=3,
+            spec_window=4, prefill_chunk=4,
+        )
+        r = _req(cfg, params, ids, 10)
+        r.prompt_ids = np.asarray(ids, np.int32)
+        eng.submit(r)
+        assert eng.run()[0].tokens == solo
+        assert eng.prefill_chunks == 3  # 12 = 4 + 4 + 4
