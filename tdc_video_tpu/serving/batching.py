@@ -318,14 +318,17 @@ class DecodeEngine:
         """Begin a chunked prefill over embeds[:, :n] (all-valid tokens).
         The capacity-length batch-1 cache is filled by _advance_pending one
         prefill_chunk per run() iteration."""
+        cache1 = lm_mod.init_kv_cache(
+            self.cfg.lm, 1, self.capacity, self.cfg.dtype, quant=self.kv_quant
+        )
+        if self.mesh is not None:
+            # keep the chunked batch-1 cache on the same head-axis sharding
+            # as the shared cache so extends stay collective-free
+            from ..parallel.sharding import kv_cache_spec, shard_tree
+
+            cache1 = shard_tree(cache1, kv_cache_spec(cache1), self.mesh)
         self._pending = _PendingPrefill(
-            req=req,
-            key=key,
-            embeds=req.embeds[:, :n],
-            total=n,
-            cache1=lm_mod.init_kv_cache(
-                self.cfg.lm, 1, self.capacity, self.cfg.dtype, quant=self.kv_quant
-            ),
+            req=req, key=key, embeds=req.embeds[:, :n], total=n, cache1=cache1
         )
 
     def _extend_suffix(self, req: Request, donor: Dict):

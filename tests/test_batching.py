@@ -467,3 +467,56 @@ class TestChunkedPrefill:
         eng.submit(r)
         assert eng.run()[0].tokens == solo
         assert eng.prefill_chunks == 3  # 12 = 4 + 4 + 4
+
+class TestEngineSoak:
+    """Randomized soak: a stream of requests with random lengths, budgets,
+    and mid-flight staggered submissions must reproduce solo greedy for every
+    request, under each engine mode (plain / chunked / spec / int8-KV+spec).
+    Guards the admission/harvest bookkeeping against slot-reuse and
+    interleaving edge cases no hand-written scenario covers."""
+
+    @pytest.mark.parametrize(
+        "mode",
+        [
+            dict(),
+            dict(prefill_chunk=4),
+            dict(spec_window=3, prefill_chunk=4),
+            dict(spec_window=4, kv_quant="int8"),
+        ],
+        ids=["plain", "chunked", "spec+chunked", "spec+kv8"],
+    )
+    def test_random_staggered_stream(self, setup, mode):
+        cfg, params = setup
+        rng = np.random.default_rng(77)
+        # prompts from a tight alphabet so some answers hit EOS / repeat
+        prompts = [rng.integers(2, 40, int(rng.integers(3, 14))) for _ in range(8)]
+        budgets = [int(rng.integers(1, 9)) for _ in prompts]
+        eng = DecodeEngine(cfg, params, num_slots=3, capacity=32, chunk_tokens=2, **mode)
+        it = iter(range(len(prompts)))
+        submitted, done = 0, []
+        # submit 2 up-front, then one more after every run() drain round
+        # (run() drains fully, so stagger across repeated run() calls —
+        # slot-reuse across calls is part of what this exercises)
+        while submitted < len(prompts):
+            for _ in range(2 if submitted == 0 else 1):
+                if submitted < len(prompts):
+                    r = _req(cfg, params, prompts[submitted], budgets[submitted])
+                    r.prompt_ids = np.asarray(prompts[submitted], np.int32)
+                    eng.submit(r)
+                    submitted += 1
+            done += eng.run()
+        assert len(done) == len(prompts)
+        by_uid = {r.uid: r.tokens for r in done}
+        for ids, mnt in zip(prompts, budgets):
+            got = by_uid[tuple(np.asarray(ids, np.int32))]
+            if mode.get("kv_quant"):
+                # int8 KV drifts from the bf16 solo path; exactness vs the
+                # plain int8-KV engine is covered in TestSharedPrefix —
+                # here just require a sane, budget-respecting stream
+                assert 1 <= len(got) <= mnt
+                continue
+            want = _solo(cfg, params, ids, mnt)
+            # _solo treats a mid-stream pad token as end; the engine only
+            # stops at EOS/budget — compare up to the solo length
+            assert got[: len(want)] == want
+            assert len(got) <= mnt

@@ -239,8 +239,8 @@ class TestTPEngine:
             prompt_ids=np.asarray(ids[0]) if with_pids else None,
         )
 
-    @pytest.mark.parametrize("spec_window", [0, 4])
-    def test_tp_engine_matches_plain(self, spec_window):
+    @pytest.mark.parametrize("spec_window,prefill_chunk", [(0, 0), (4, 0), (0, 4)])
+    def test_tp_engine_matches_plain(self, spec_window, prefill_chunk):
         from tdc_video_tpu.serving.batching import DecodeEngine
 
         cfg, params = self._setup()
@@ -252,7 +252,7 @@ class TestTPEngine:
         def run(p, m):
             eng = DecodeEngine(
                 cfg, p, num_slots=2, capacity=64, chunk_tokens=4,
-                spec_window=spec_window, mesh=m,
+                spec_window=spec_window, prefill_chunk=prefill_chunk, mesh=m,
             )
             for ids in prompts:
                 eng.submit(self._req(cfg, p, ids, 10, with_pids=spec_window > 0))
