@@ -56,6 +56,7 @@ def run_benchmark(
     use_lvcot: bool = False,
     limit: Optional[int] = None,
     resume: bool = True,
+    batch_slots: int = 0,
 ) -> dict:
     samples = shard_samples(samples)
     if limit:
@@ -148,20 +149,36 @@ def run_benchmark(
             wav = load_audio(line["audio"])
 
         if "questions" in line:  # grouped (videomme): many questions, one video
-            for q in line["questions"]:
-                if (line["video_name"], q["question"]) in done:
-                    continue
+            pend = [q for q in line["questions"]
+                    if (line["video_name"], q["question"]) not in done]
+
+            def _qprompt(q):
                 opt = "".join(f"{o}\n" for o in q["choices"])
-                qprompt = (
+                qp = (
                     f"Question: {q['question']}\nOptions:\n{opt}"
                     "Respond with only the letter (A, B, C, or D) of the correct option.\n"
                 ).rstrip()
-                pred = predictor.answer(
-                    frames, (prompt + qprompt) if sub_path else qprompt,
-                    qformer_prompt=q["question"],
+                return (prompt + qp) if sub_path else qp
+
+            if batch_slots > 1 and len(pend) > 1:
+                # all of a video's questions decode in one continuous-batching
+                # lockstep loop (runner.answer_many; serving upgrade over the
+                # reference's per-question generate)
+                preds = predictor.answer_many(
+                    frames, [(_qprompt(q), q["question"]) for q in pend],
                     wav=wav, frame_seconds=frame_seconds,
-                    video_uid=line["video_name"],
+                    video_uid=line["video_name"], num_slots=batch_slots,
                 )
+            else:
+                preds = [
+                    predictor.answer(
+                        frames, _qprompt(q), qformer_prompt=q["question"],
+                        wav=wav, frame_seconds=frame_seconds,
+                        video_uid=line["video_name"],
+                    )
+                    for q in pend
+                ]
+            for q, pred in zip(pend, preds):
                 emit(
                     {
                         "video_name": line["video_name"],
@@ -280,6 +297,12 @@ def main(argv=None):
         help="weight-only int8 LM for faster decode",
     )
     ap.add_argument(
+        "--batch_slots", type=int, default=0,
+        help="decode a grouped video's questions together through the "
+        "continuous-batching engine with this many cache slots "
+        "(answer_many); 0/1 = one-at-a-time reference behavior",
+    )
+    ap.add_argument(
         "--spec_window", type=int, default=0,
         help="prompt-lookup speculative decoding window (eval decode is "
         "greedy, so answers are token-identical; pays off for long answers "
@@ -302,6 +325,7 @@ def main(argv=None):
             out_dir=args.out_dir,
             use_lvcot=args.use_lvcot,
             limit=args.limit,
+            batch_slots=args.batch_slots,
         )
     if args.profile:
         s = predictor.stats

@@ -419,7 +419,7 @@ class TDCPredictor:
     def answer_many(
         self,
         frames: np.ndarray,
-        questions: Sequence[str],
+        questions: Sequence,  # str, or (prompt, qformer_prompt) pairs
         wav: Optional[np.ndarray] = None,
         frame_seconds: Optional[np.ndarray] = None,
         max_new_tokens: Optional[int] = None,
@@ -440,7 +440,15 @@ class TDCPredictor:
         (template head + ~3.6k packed video tokens); when that common embed
         prefix is at least `prefix_share_threshold` tokens, it is prefilled
         ONCE and each question extends only its own suffix
-        (models/lm.extend_prefill via Request.prefix_key)."""
+        (models/lm.extend_prefill via Request.prefix_key).
+
+        Each question is a string, or a `(prompt, qformer_prompt)` pair when
+        the LM prompt differs from the compression-conditioning text (the
+        grouped Video-MME shape: prompt carries options/subtitles, the
+        Q-Former sees only the bare question — eval_videomme.py:204-240).
+        Question-conditioned compression means per-question video tokens, so
+        prefix sharing then ends at the template head; the engine still
+        batches all decodes in one lockstep loop."""
         from ..compress.aspect import frame_token_layout
         from ..serving.batching import DecodeEngine, Request
 
@@ -448,7 +456,10 @@ class TDCPredictor:
         mnt = max_new_tokens or self.max_new_tokens
         prefixes = []
         for question in questions:
-            ids, img_pos, qtext = self.build_text(question)
+            qf = None
+            if isinstance(question, tuple):
+                question, qf = question
+            ids, img_pos, qtext = self.build_text(question, qf)
             cap = min(budget.max_num_frames(cfg, ids, train=False), self.max_eval_frames)
             f = frames
             fsec = frame_seconds

@@ -350,3 +350,51 @@ class TestAnswerMany:
             batching_mod.DecodeEngine = real_engine
         assert shared == solo
         assert len(engines) == 1 and engines[0].prefix_prefills == 1
+
+    def test_grouped_harness_batch_slots(self, tmp_path):
+        """--batch_slots routes a grouped (Video-MME-style) video's questions
+        through answer_many; records must match the per-question path,
+        including the distinct (prompt, qformer_prompt) split."""
+        from PIL import Image
+
+        from tdc_video_tpu.builder import load_pretrained_model
+        from tdc_video_tpu.eval.harness import run_benchmark
+        from tdc_video_tpu.eval.runner import TDCPredictor
+        from tdc_video_tpu.config import tdc_tiny
+        from test_builder import write_checkpoint
+
+        ckpt = str(tmp_path / "ckpt")
+        write_checkpoint(ckpt, tdc_tiny(), audio=False)
+        _, model, _, _ = load_pretrained_model(ckpt, load_tokenizer=False)
+
+        vid = str(tmp_path / "v.gif")
+        ims = [Image.new("RGB", (64, 48), (i * 40, 10, 10)) for i in range(6)]
+        ims[0].save(vid, save_all=True, append_images=ims[1:], duration=500, loop=0)
+
+        def grouped():
+            return [{
+                "video": vid,
+                "video_name": "v.gif",
+                "prompt": "",
+                "duration": "short",
+                "questions": [
+                    {"question": "How many?", "choices": ["(A) 1", "(B) 2"], "answer": "A"},
+                    {"question": "Which first?", "choices": ["(A) x", "(B) y"], "answer": "B"},
+                    {"question": "What color?", "choices": ["(A) r", "(B) g"], "answer": "A"},
+                ],
+            }]
+
+        def run(slots, sub):
+            import glob as _glob
+
+            predictor = TDCPredictor(
+                model.cfg, model.params, SimpleTokenizer(), max_new_tokens=3,
+                text_bucket=128,
+            )
+            run_benchmark("videomme", predictor, grouped(),
+                          out_dir=str(tmp_path / sub), batch_slots=slots)
+            out = _glob.glob(str(tmp_path / sub / "VIDEOMME" / "outputs-*.json"))
+            with open(out[0]) as fh:
+                return {r["question"]: (r["raw"], r["pred"]) for r in json.load(fh)}
+
+        assert run(2, "batched") == run(0, "solo")
