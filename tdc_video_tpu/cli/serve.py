@@ -44,6 +44,11 @@ def main(argv=None):
         "per-slot drafting — exact same tokens; see serving/speculative.py)",
     )
     ap.add_argument(
+        "--stream", action="store_true",
+        help="print tokens as slots decode them (interleaved, prefixed by "
+        "question index) instead of only the final answers",
+    )
+    ap.add_argument(
         "--prefill_chunk", type=int, default=0,
         help="chunked admission: prefill long prompts N tokens per decode "
         "chunk so new questions never stall in-flight answers for a whole "
@@ -102,6 +107,28 @@ def main(argv=None):
         act_quant=(args.quantize == "int8-all"),
         spec_window=args.spec_window,
     )
+    on_tokens = None
+    if args.stream:
+        import sys
+
+        printed = {}  # uid -> chars already emitted
+        state = {"last": None}
+
+        def on_tokens(req, new):
+            # decode the WHOLE accumulated stream and emit only the new
+            # suffix: token-by-token decode would split multi-token
+            # characters and drop sentencepiece word boundaries
+            text = tokenizer.decode(req.tokens, skip_special_tokens=True)
+            delta = text[len(printed.get(req.uid, "")) :]
+            printed[req.uid] = text
+            if not delta:
+                return
+            if state["last"] != req.uid:
+                sys.stdout.write(f"\n[q{req.uid}] ")
+                state["last"] = req.uid
+            sys.stdout.write(delta)
+            sys.stdout.flush()
+
     t1 = time.time()
     answers = predictor.answer_many(
         frames,
@@ -113,8 +140,11 @@ def main(argv=None):
         num_slots=args.slots,
         kv_quant=args.kv_quant,
         prefill_chunk=args.prefill_chunk,
+        on_tokens=on_tokens,
     )
     dt = time.time() - t1
+    if args.stream:
+        print()
     for q, a in zip(questions, answers):
         print(f"\nQ: {q}\nA: {a}")
     print(f"\n[{len(questions)} answers in {dt:.1f}s]")

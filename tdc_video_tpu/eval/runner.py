@@ -428,6 +428,8 @@ class TDCPredictor:
         kv_quant: Optional[str] = None,
         prefix_share_threshold: int = 256,
         prefill_chunk: int = 0,
+        on_tokens=None,  # callable(req, new_token_ids): stream partial
+        # answers as slots decode (req.uid is the question index)
     ) -> List[str]:
         """Answer several questions about ONE video through the
         continuous-batching DecodeEngine (serving/batching.py): the towers run
@@ -538,6 +540,7 @@ class TDCPredictor:
             spec_window=self.spec_window,
             spec_ngram=self.spec_ngram,
             prefill_chunk=prefill_chunk,
+            on_tokens=on_tokens,
         )
         for i, (embeds, amask, pids) in enumerate(prefixes):
             eng.submit(Request(

@@ -138,6 +138,10 @@ class DecodeEngine:
         # same math as one-shot prefill, bf16 reduction-order epsilon)
         mesh=None,  # jax.sharding.Mesh: tensor-parallel serving (params must
         # already be sharded with parallel.sharding.lm_param_spec over it)
+        on_tokens=None,  # callable(req, new_token_ids): token streaming —
+        # invoked after admission (the first token) and after every decode
+        # chunk harvest with the tokens appended since the last call, so a
+        # caller can surface partial answers while other slots still decode
     ):
         self.cfg = cfg
         self.params = params
@@ -154,6 +158,7 @@ class DecodeEngine:
         self.prefill_chunk = prefill_chunk
         self._pending: Optional[_PendingPrefill] = None
         self.mesh = mesh
+        self.on_tokens = on_tokens
 
         self.cache = lm_mod.init_kv_cache(cfg.lm, num_slots, capacity, cfg.dtype, quant=kv_quant)
         if mesh is not None:
@@ -424,6 +429,8 @@ class DecodeEngine:
         L = req.embeds.shape[1]
         self.cache = _insert_cache(self.cache, cache1, slot)
         req.tokens.append(first_i)
+        if self.on_tokens is not None:
+            self.on_tokens(req, [first_i])
         # Each decode step writes KV at position `lengths`; generating G
         # post-prefill tokens needs L+G <= capacity, else decode_step's
         # write_pos clamp (models/lm.py) would silently overwrite the last
@@ -459,7 +466,10 @@ class DecodeEngine:
             if req is None:
                 continue
             n = int(budget_before[slot] - self._budget[slot])  # active steps taken
-            req.tokens.extend(int(t) for t in toks[slot][:n])
+            new = [int(t) for t in toks[slot][:n]]
+            req.tokens.extend(new)
+            if new and self.on_tokens is not None:
+                self.on_tokens(req, new)
             if not bool(self._active[slot]):
                 req.done = True
                 self._finished.append(req)
@@ -472,13 +482,30 @@ class DecodeEngine:
             req = self._requests[slot]
             if req is None:
                 continue
+            new = []
             for i in range(gs.shape[0]):
                 n = int(ms[i, slot])
-                req.tokens.extend(int(t) for t in gs[i, slot, :n])
+                new.extend(int(t) for t in gs[i, slot, :n])
+            req.tokens.extend(new)
+            if new and self.on_tokens is not None:
+                self.on_tokens(req, new)
             if not bool(self._active[slot]):
                 req.done = True
                 self._finished.append(req)
                 self._requests[slot] = None
+
+    def _gc_prefixes(self):
+        """Drop donor prefix caches no queued/pending request still needs.
+        Each donor is a full-capacity batch-1 KV cache (~100 MB for 7B at 4k
+        capacity), so holding them past their last consumer would leak HBM
+        across a many-video serving session."""
+        if not self._prefixes:
+            return
+        live = {r.prefix_key for r in self._queue if r.prefix_key is not None}
+        if self._pending is not None and self._pending.key is not None:
+            live.add(self._pending.key)
+        for key in [k for k in self._prefixes if k not in live]:
+            del self._prefixes[key]
 
     def run(self) -> List[Request]:
         """Drain the queue + all slots; returns completed requests in finish
@@ -489,6 +516,7 @@ class DecodeEngine:
             or any(r is not None for r in self._requests)
         ):
             self._admit()
+            self._gc_prefixes()
             if self._pending is not None:
                 # one prefill chunk per decode chunk: the in-flight long
                 # prompt advances without stalling active slots for its

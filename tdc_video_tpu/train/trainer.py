@@ -410,23 +410,34 @@ class Trainer:
     def _ckpt_manager(self):
         import orbax.checkpoint as ocp
 
-        path = os.path.join(os.path.abspath(self.tcfg.output_dir), "checkpoints")
-        return ocp.CheckpointManager(
-            path,
-            options=ocp.CheckpointManagerOptions(
-                max_to_keep=self.tcfg.save_total_limit, create=True
-            ),
-        )
+        if getattr(self, "_mgr", None) is None:
+            path = os.path.join(os.path.abspath(self.tcfg.output_dir), "checkpoints")
+            self._mgr = ocp.CheckpointManager(
+                path,
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=self.tcfg.save_total_limit, create=True
+                ),
+            )
+        return self._mgr
 
-    def save(self):
+    def save(self, wait: bool = True):
+        """Checkpoint the training state.  wait=False makes the save ASYNC:
+        Orbax copies device arrays to host synchronously (so the buffers the
+        next step donates are no longer needed) and serializes to disk on a
+        background thread, overlapping the write with subsequent training
+        steps — the reference blocks the loop for the whole torch.save
+        (mm_trainer.py save path).  fit() uses wait=False for periodic saves
+        and a final blocking save for durability."""
         mgr = self._ckpt_manager()
         import orbax.checkpoint as ocp
 
+        mgr.wait_until_finished()  # previous async save, if any
         state = {"params": self.params, "step": self.step}
         if self.lora is not None:
             state["lora"] = self.lora
         mgr.save(self.step, args=ocp.args.StandardSave(state))
-        mgr.wait_until_finished()
+        if wait:
+            mgr.wait_until_finished()
         if self.tcfg.tune_mm_mlp_adapter:
             # adapter-only artifact alongside the full state
             # (reference mm_projector.bin flavor, mm_trainer.py:487-513)
@@ -510,5 +521,5 @@ class Trainer:
                 # the only per-N-steps host sync
                 self.log({"loss": float(loss), "steps_per_s": self.step / max(time.time() - t0, 1e-9)})
             if self.step % self.tcfg.save_steps == 0:
-                self.save()
+                self.save(wait=False)  # disk write overlaps the next steps
         self.save()

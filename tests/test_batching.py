@@ -520,3 +520,69 @@ class TestEngineSoak:
             # stops at EOS/budget — compare up to the solo length
             assert got[: len(want)] == want
             assert len(got) <= mnt
+
+
+class TestStreamingAndPrefixGC:
+    """on_tokens streaming callback + donor prefix-cache GC (round 3)."""
+
+    def test_on_tokens_streams_every_token_once(self, setup):
+        cfg, params = setup
+        rng = np.random.default_rng(5)
+        prompts = [rng.integers(2, 90, 7), rng.integers(2, 90, 9)]
+        deltas = {}
+        calls = []
+
+        def on_tokens(req, new):
+            assert new  # never called with an empty delta
+            deltas.setdefault(req.uid, []).extend(new)
+            calls.append((req.uid, len(new)))
+
+        eng = DecodeEngine(
+            cfg, params, num_slots=2, capacity=64, chunk_tokens=4,
+            on_tokens=on_tokens,
+        )
+        for ids in prompts:
+            eng.submit(_req(cfg, params, ids, 10))
+        done = eng.run()
+        # streamed deltas concatenate to exactly the final token lists
+        for r in done:
+            assert deltas[r.uid] == r.tokens
+        # tokens arrive incrementally: first-token call plus >=1 harvest call
+        for ids in prompts:
+            uid = tuple(np.asarray(ids, np.int32))
+            n_calls = sum(1 for u, _ in calls if u == uid)
+            assert n_calls >= 2
+
+    def test_spec_engine_streams(self, setup):
+        cfg, params = setup
+        rng = np.random.default_rng(6)
+        ids = rng.integers(2, 40, 8)
+        deltas = []
+        eng = DecodeEngine(
+            cfg, params, num_slots=1, capacity=64, chunk_tokens=2,
+            spec_window=3, on_tokens=lambda req, new: deltas.extend(new),
+        )
+        r = _req(cfg, params, ids, 8)
+        r.prompt_ids = np.asarray(ids, np.int32)
+        eng.submit(r)
+        done = eng.run()
+        assert deltas == done[0].tokens
+
+    def test_prefix_cache_released_after_last_consumer(self, setup):
+        """Donor prefix caches are full-capacity batch-1 KV caches; the
+        engine must drop them once no queued/pending request references the
+        key, or a many-video serving session leaks HBM."""
+        cfg, params = setup
+        rng = np.random.default_rng(41)
+        head = rng.integers(2, 90, 8)
+        eng = DecodeEngine(cfg, params, num_slots=2, capacity=64, chunk_tokens=4)
+        for tail_len in (3, 4, 5):
+            ids = np.concatenate([head, rng.integers(2, 90, tail_len)])
+            r = _req(cfg, params, ids, 6)
+            r.prefix_key = "vid0"
+            r.prefix_len = 8
+            eng.submit(r)
+        done = eng.run()
+        assert len(done) == 3
+        assert eng.prefix_prefills == 1  # still shared across all three
+        assert eng._prefixes == {}  # donor released once the queue drained

@@ -138,6 +138,30 @@ class TestTrainerRuns:
         assert tr2.step == 1
         np.testing.assert_array_equal(np.asarray(tr2.params["image_newline"]), w_after)
 
+    def test_async_save_overlaps_and_restores(self, tmp_path):
+        """save(wait=False) returns before the disk write completes but the
+        next step's buffer donation is safe (Orbax copies to host
+        synchronously); a later blocking save() makes both durable."""
+        cfg = tdc_tiny()
+        params = init_tdc(jax.random.PRNGKey(0), cfg)
+        tcfg = TrainConfig(
+            output_dir=str(tmp_path),
+            model_max_length=128,
+            max_visual_len=64,
+            gradient_accumulation_steps=1,
+        )
+        tr = Trainer(cfg, tcfg, params, total_steps=4)
+        tr.train_step(_batch(cfg))
+        tr.save(wait=False)
+        tr.train_step(_batch(cfg))  # donates while the async write runs
+        tr.save()
+        w_after = np.asarray(tr.params["image_newline"])
+
+        tr2 = Trainer(cfg, tcfg, init_tdc(jax.random.PRNGKey(9), cfg), total_steps=4)
+        assert tr2.restore_if_available()
+        assert tr2.step == 2
+        np.testing.assert_array_equal(np.asarray(tr2.params["image_newline"]), w_after)
+
     def test_lora_training_updates_only_lora(self, tmp_path):
         cfg = tdc_tiny()
         params = init_tdc(jax.random.PRNGKey(0), cfg)
