@@ -15,6 +15,9 @@ import time
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compile_cache
+
+    enable_compile_cache()  # second invocation compiles ~nothing
     ap = argparse.ArgumentParser(description="TDC-Video TPU demo")
     ap.add_argument("--model_path", required=True)
     ap.add_argument("--model_base", default=None)

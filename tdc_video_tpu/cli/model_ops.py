@@ -31,16 +31,55 @@ def cmd_merge_lora(args):
     print(f"merged model written to {args.save_path}")
 
 
+# Keys allowed to differ in shape between base and target/delta: a resized
+# vocabulary changes only the embedding table and the output head.  The
+# reference asserts exactly this set and slice-combines the overlap
+# (/root/reference/tdc/apply_delta.py, make_delta.py).
+_VOCAB_RESIZE_KEYS = ("embed_tokens", "lm_head")
+
+
+def combine_state_dicts(primary, base, sign):
+    """primary +/- base over shared keys, reference delta semantics.
+
+    * key missing from base: new multimodal module -> carried through as-is
+      (the reference allowlists mm_projector.*; our checkpoints add the whole
+      TDC module family, so any base-missing key passes through).
+    * shapes equal: elementwise ``primary + sign * base``.
+    * shapes differ on an embed_tokens / lm_head key (vocab resize): combine
+      the overlapping [:rows, :cols] slice, keep primary's extra rows intact
+      (/root/reference/tdc/apply_delta.py "dimension mismatch" branch).
+    * shapes differ anywhere else: ValueError — never silently copy.
+    """
+    out = {}
+    for k, v in primary.items():
+        if k not in base:
+            out[k] = v
+            continue
+        b = base[k]
+        if b.shape == v.shape:
+            out[k] = v + sign * b
+        elif any(t in k for t in _VOCAB_RESIZE_KEYS) and v.ndim == b.ndim == 2:
+            r = min(v.shape[0], b.shape[0])
+            c = min(v.shape[1], b.shape[1])
+            v = v.copy()
+            v[:r, :c] = v[:r, :c] + sign * b[:r, :c]
+            out[k] = v
+        else:
+            raise ValueError(
+                f"shape mismatch for {k!r}: {v.shape} vs base {b.shape} "
+                "(only embed_tokens/lm_head vocab resizes are combinable)"
+            )
+    return out
+
+
 def cmd_make_delta(args):
-    """delta = target - base, elementwise over shared keys."""
+    """delta = target - base (slice-subtract on vocab-resized embed/head)."""
     from ..builder import load_state_dict
     from safetensors.numpy import save_file
 
     base = load_state_dict(args.base)
     target = load_state_dict(args.target)
-    delta = {}
-    for k, v in target.items():
-        delta[k] = v - base[k] if k in base and base[k].shape == v.shape else v
+    delta = combine_state_dicts(target, base, sign=-1)
     os.makedirs(args.delta, exist_ok=True)
     save_file(delta, os.path.join(args.delta, "model.safetensors"))
     for f in ("config.json", "tokenizer.json", "tokenizer_config.json"):
@@ -58,9 +97,7 @@ def cmd_apply_delta(args):
 
     base = load_state_dict(args.base)
     delta = load_state_dict(args.delta)
-    out = {}
-    for k, v in delta.items():
-        out[k] = v + base[k] if k in base and base[k].shape == v.shape else v
+    out = combine_state_dicts(delta, base, sign=+1)
     os.makedirs(args.target, exist_ok=True)
     save_file(out, os.path.join(args.target, "model.safetensors"))
     print(f"reconstructed model written to {args.target}")

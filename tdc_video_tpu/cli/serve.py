@@ -20,6 +20,9 @@ import time
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compile_cache
+
+    enable_compile_cache()  # second invocation compiles ~nothing
     ap = argparse.ArgumentParser(description="TDC-Video TPU multi-question serving")
     ap.add_argument("--model_path", required=True)
     ap.add_argument("--model_base", default=None)
@@ -119,7 +122,17 @@ def main(argv=None):
             # suffix: token-by-token decode would split multi-token
             # characters and drop sentencepiece word boundaries
             text = tokenizer.decode(req.tokens, skip_special_tokens=True)
-            delta = text[len(printed.get(req.uid, "")) :]
+            # hold back trailing U+FFFD: a partial multi-byte character
+            # decodes to the replacement char until the next token lands —
+            # emitting it now would print a char the stream later revises
+            text = text.rstrip("�")
+            prev = printed.get(req.uid, "")
+            if text.startswith(prev):
+                delta = text[len(prev) :]
+            else:
+                # the decoded stream revised already-emitted characters
+                # (rare tokenizer normalization); reprint the full answer
+                delta = "\n[q%s|revised] %s" % (req.uid, text)
             printed[req.uid] = text
             if not delta:
                 return

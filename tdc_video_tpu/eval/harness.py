@@ -268,6 +268,10 @@ def build_predictor(args) -> TDCPredictor:
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compile_cache
+
+    enable_compile_cache()  # a fresh MLVU run recompiles one program per
+    # (frame-bucket x gen-key); the persistent cache turns hours into seconds
     ap = argparse.ArgumentParser(description="TDC-Video TPU eval harness")
     ap.add_argument("benchmark", choices=sorted(LOADERS))
     ap.add_argument("--model_path", required=True)

@@ -122,7 +122,6 @@ class TDCPredictor:
         # numerics within tolerance — tests/test_data.py::TestDevicePreprocess)
         self.device_preprocess = device_preprocess
         self._gen_cache: Dict[Tuple, Any] = {}
-        self._engine_cache: Dict[Tuple, Any] = {}  # answer_many DecodeEngines
         self._audio_cache: Dict[int, Any] = {}
         self._encode_cache: Dict[int, Any] = {}
         self._feat_cache: Tuple[Any, Any] = (None, None)  # one-video feature cache

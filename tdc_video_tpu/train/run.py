@@ -47,6 +47,10 @@ def main(argv=None):
             args.coordinator, args.num_processes, args.process_id
         )
 
+    from ..utils.cache import enable_compile_cache
+
+    enable_compile_cache()  # after distributed init (must not touch backend)
+
     from ..builder import load_pretrained_model
     from .dataset import Collator, SupervisedDataset, data_iterator
     from .runner_utils import hf_tokenizer_protocol

@@ -432,6 +432,7 @@ class Trainer:
         import orbax.checkpoint as ocp
 
         mgr.wait_until_finished()  # previous async save, if any
+        self._join_adapter_write()  # previous async adapter export, if any
         state = {"params": self.params, "step": self.step}
         if self.lora is not None:
             state["lora"] = self.lora
@@ -440,15 +441,36 @@ class Trainer:
             mgr.wait_until_finished()
         if self.tcfg.tune_mm_mlp_adapter:
             # adapter-only artifact alongside the full state
-            # (reference mm_projector.bin flavor, mm_trainer.py:487-513)
+            # (reference mm_projector.bin flavor, mm_trainer.py:487-513).
+            # Same async pattern as the Orbax save: snapshot the (small)
+            # adapter subtree to host synchronously, write on a background
+            # thread so wait=False saves never block the loop on disk I/O.
             import os
 
-            from ..convert.to_hf import save_mm_adapter
+            from ..convert.to_hf import export_mm_adapter, save_mm_adapter
 
-            save_mm_adapter(
-                self.params,
-                os.path.join(self.tcfg.output_dir, f"mm_projector-{self.step}.safetensors"),
+            path = os.path.join(
+                self.tcfg.output_dir, f"mm_projector-{self.step}.safetensors"
             )
+            if wait:
+                save_mm_adapter(self.params, path)
+            else:
+                import threading
+
+                from safetensors.numpy import save_file
+
+                self._join_adapter_write()
+                host = export_mm_adapter(self.params)  # device->host fetch
+                self._adapter_thread = threading.Thread(
+                    target=save_file, args=(host, path), daemon=True
+                )
+                self._adapter_thread.start()
+
+    def _join_adapter_write(self):
+        t = getattr(self, "_adapter_thread", None)
+        if t is not None:
+            t.join()
+            self._adapter_thread = None
 
     def restore_if_available(self) -> bool:
         """resume-from-checkpoint (train.py:1269-1273)."""

@@ -126,6 +126,44 @@ def test_delta_ops(tmp_path):
     np.testing.assert_allclose(recon["model.x.weight"], target["model.x.weight"], rtol=1e-6)
 
 
+def test_delta_vocab_resize_slice_combines():
+    """A delta over a resized-vocab model slice-combines the overlapping
+    embed/head rows and keeps the new rows intact (the reference's
+    dimension-mismatch branch, tdc/apply_delta.py)."""
+    from tdc_video_tpu.cli.model_ops import combine_state_dicts
+
+    rng = np.random.default_rng(1)
+    base = {
+        "model.embed_tokens.weight": rng.normal(size=(4, 3)).astype(np.float32),
+        "lm_head.weight": rng.normal(size=(4, 3)).astype(np.float32),
+    }
+    target = {
+        "model.embed_tokens.weight": rng.normal(size=(6, 3)).astype(np.float32),
+        "lm_head.weight": rng.normal(size=(6, 3)).astype(np.float32),
+        "model.mm_projector.weight": rng.normal(size=(3, 3)).astype(np.float32),
+    }
+    delta = combine_state_dicts(target, base, sign=-1)
+    recon = combine_state_dicts(delta, base, sign=+1)
+    for k in target:
+        np.testing.assert_allclose(recon[k], target[k], rtol=1e-5, atol=1e-6)
+    # extra rows of the delta ARE the target rows (no base to subtract)
+    np.testing.assert_allclose(
+        delta["lm_head.weight"][4:], target["lm_head.weight"][4:], rtol=1e-6
+    )
+
+
+def test_delta_non_vocab_mismatch_raises():
+    """Any other shape mismatch must error loudly, never silently copy."""
+    import pytest
+
+    from tdc_video_tpu.cli.model_ops import combine_state_dicts
+
+    base = {"model.layers.0.mlp.weight": np.zeros((4, 4), np.float32)}
+    bad = {"model.layers.0.mlp.weight": np.ones((8, 4), np.float32)}
+    with pytest.raises(ValueError, match="shape mismatch"):
+        combine_state_dicts(bad, base, sign=+1)
+
+
 def test_mm_adapter_roundtrip(tmp_path):
     import jax
     import jax.numpy as jnp
