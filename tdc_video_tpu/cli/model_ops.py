@@ -75,13 +75,13 @@ def combine_state_dicts(primary, base, sign):
 def cmd_make_delta(args):
     """delta = target - base (slice-subtract on vocab-resized embed/head)."""
     from ..builder import load_state_dict
-    from safetensors.numpy import save_file
+    from ..convert.to_hf import save_safetensors
 
     base = load_state_dict(args.base)
     target = load_state_dict(args.target)
     delta = combine_state_dicts(target, base, sign=-1)
     os.makedirs(args.delta, exist_ok=True)
-    save_file(delta, os.path.join(args.delta, "model.safetensors"))
+    save_safetensors(delta, os.path.join(args.delta, "model.safetensors"))
     for f in ("config.json", "tokenizer.json", "tokenizer_config.json"):
         src = os.path.join(args.target, f)
         if os.path.exists(src):
@@ -93,24 +93,24 @@ def cmd_make_delta(args):
 
 def cmd_apply_delta(args):
     from ..builder import load_state_dict
-    from safetensors.numpy import save_file
+    from ..convert.to_hf import save_safetensors
 
     base = load_state_dict(args.base)
     delta = load_state_dict(args.delta)
     out = combine_state_dicts(delta, base, sign=+1)
     os.makedirs(args.target, exist_ok=True)
-    save_file(out, os.path.join(args.target, "model.safetensors"))
+    save_safetensors(out, os.path.join(args.target, "model.safetensors"))
     print(f"reconstructed model written to {args.target}")
 
 
 def cmd_consolidate(args):
     """Merge sharded weight files into one safetensors (tdc/consolidate.py)."""
     from ..builder import load_state_dict
-    from safetensors.numpy import save_file
+    from ..convert.to_hf import save_safetensors
 
     sd = load_state_dict(args.src)
     os.makedirs(args.dst, exist_ok=True)
-    save_file(sd, os.path.join(args.dst, "model.safetensors"))
+    save_safetensors(sd, os.path.join(args.dst, "model.safetensors"))
     print(f"consolidated {len(sd)} tensors -> {args.dst}")
 
 

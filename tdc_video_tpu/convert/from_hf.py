@@ -23,9 +23,25 @@ Array = np.ndarray
 StateDict = Mapping[str, Array]
 
 
+def _is_safetensors(path: str) -> bool:
+    """Content sniff, not extension: a safetensors file opens with a u64
+    little-endian header length followed by a JSON header.  The reference's
+    mm_projector.bin name is a torch pickle there but may be safetensors
+    when produced by our exporters."""
+    if path.endswith(".safetensors"):
+        return True
+    try:
+        with open(path, "rb") as fh:
+            head = fh.read(9)
+        n = int.from_bytes(head[:8], "little")
+        return len(head) == 9 and 0 < n < 100_000_000 and head[8:9] in (b"{", b" ")
+    except OSError:
+        return False
+
+
 def load_torch_state_dict(path: str) -> Dict[str, Array]:
     """Read a .bin/.pt/.safetensors checkpoint into numpy arrays."""
-    if path.endswith(".safetensors"):
+    if _is_safetensors(path):
         from safetensors.numpy import load_file
 
         return dict(load_file(path))
@@ -167,7 +183,9 @@ def convert_dinov2(sd: StateDict, cfg: ViTConfig, prefix: str = "") -> Dict[str,
             "w": patch_w,
             "b": sd[prefix + "embeddings.patch_embeddings.projection.bias"],
         },
-        "cls_token": sd[prefix + "embeddings.cls_token"][0],
+        # HF stores [1, 1, H]; our init_vit tree holds a flat [H] vector
+        # (models/vit.py:82) — anything else breaks export/import bijection
+        "cls_token": np.asarray(sd[prefix + "embeddings.cls_token"]).reshape(-1),
         "pos_embed": sd[prefix + "embeddings.position_embeddings"][0],
         "layers": _stack(layers),
         "final_norm": {

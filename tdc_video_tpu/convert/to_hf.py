@@ -19,6 +19,15 @@ def _np(x) -> Array:
     return np.asarray(x, np.float32)
 
 
+def save_safetensors(sd: Dict[str, Array], path: str) -> None:
+    """safetensors.numpy.save_file silently serializes the BASE buffer of a
+    non-contiguous view (transposed conv exports!), producing a permuted
+    tensor on reload — always force contiguity at the save boundary."""
+    from safetensors.numpy import save_file
+
+    save_file({k: np.ascontiguousarray(v) for k, v in sd.items()}, path)
+
+
 def _lin(sd: Dict[str, Array], name: str, p) -> None:
     sd[name + ".weight"] = np.ascontiguousarray(_np(p["w"]).T)
     if "b" in p:
@@ -233,27 +242,103 @@ def export_tdc(params, cfg, prefix: str = "model.") -> Dict[str, Array]:
     return sd
 
 
+def tdc_overrides_dict(cfg) -> dict:
+    """Nested per-module dims for an EXACT config round-trip: written into
+    config.json under "tdc_tpu_overrides" and consumed by
+    builder.read_config.  Our own extension — absent from reference
+    checkpoints (which always carry the published tower/LM dims) and ignored
+    by the reference loader, but required to reload non-default dims (tiny
+    test configs, trimmed deployments) bijectively."""
+
+    def vit(v):
+        return {
+            "image_size": v.image_size,
+            "hidden_size": v.hidden_size,
+            "num_layers": v.num_layers,
+            "num_heads": v.num_heads,
+            "intermediate_size": v.intermediate_size,
+            "interp_tokens": v.interp_tokens,
+            "use_cls_token": v.use_cls_token,
+            "use_swiglu": v.use_swiglu,
+            "layerscale": v.layerscale,
+        }
+
+    out = {
+        "lm": {
+            "head_dim": cfg.lm.head_dim,
+            "rope_theta": cfg.lm.rope_theta,
+            "rope_scaling": list(cfg.lm.rope_scaling) if cfg.lm.rope_scaling else None,
+            "attention_bias": cfg.lm.attention_bias,
+            "pad_token_id": cfg.lm.pad_token_id,
+            "eos_token_ids": list(cfg.lm.eos_token_ids),
+            "max_position_embeddings": cfg.lm.max_position_embeddings,
+        },
+        "siglip": vit(cfg.siglip),
+        "dino": vit(cfg.dino),
+        "qformer": {
+            "vocab_size": cfg.qformer.vocab_size,
+            "hidden_size": cfg.qformer.hidden_size,
+            "num_layers": cfg.qformer.num_layers,
+            "num_heads": cfg.qformer.num_heads,
+            "intermediate_size": cfg.qformer.intermediate_size,
+            "max_position_embeddings": cfg.qformer.max_position_embeddings,
+            "query_length": cfg.qformer.query_length,
+        },
+        "sva": {"tower_token_len_list": list(cfg.sva.tower_token_len_list)},
+        # beats dims always recorded so cfg round-trips even audio-off
+        "beats": {
+            "embed_dim": cfg.beats.embed_dim,
+            "encoder_embed_dim": cfg.beats.encoder_embed_dim,
+            "num_layers": cfg.beats.num_layers,
+            "num_heads": cfg.beats.num_heads,
+            "ffn_dim": cfg.beats.ffn_dim,
+            "num_buckets": cfg.beats.num_buckets,
+            "max_distance": cfg.beats.max_distance,
+        },
+    }
+    return out
+
+
 def save_checkpoint_dir(params, cfg, out_dir: str, hf_config: dict = None) -> None:
     """Write model.safetensors + config.json in the reference layout."""
     import json
     import os
 
-    from safetensors.numpy import save_file
-
     os.makedirs(out_dir, exist_ok=True)
     sd = export_tdc(params, cfg)
-    save_file(sd, os.path.join(out_dir, "model.safetensors"))
+    save_safetensors(sd, os.path.join(out_dir, "model.safetensors"))
     hf = hf_config or {}
-    hf.setdefault("model_type", "cambrian_qwen" if cfg.lm.name == "qwen2" else "cambrian_llama")
+    is_qwen = cfg.lm.name == "qwen2"
+    hf.setdefault("model_type", "cambrian_qwen" if is_qwen else "cambrian_llama")
+    hf.setdefault(
+        "architectures",
+        ["CambrianQwenForCausalLM" if is_qwen else "CambrianLlamaForCausalLM"],
+    )
+    hf.setdefault("tie_word_embeddings", cfg.lm.tie_word_embeddings)
+    hf.setdefault("tdc_tpu_overrides", tdc_overrides_dict(cfg))
     hf.setdefault("hidden_size", cfg.lm.hidden_size)
     hf.setdefault("num_hidden_layers", cfg.lm.num_layers)
     hf.setdefault("num_attention_heads", cfg.lm.num_heads)
     hf.setdefault("num_key_value_heads", cfg.lm.num_kv_heads)
     hf.setdefault("intermediate_size", cfg.lm.intermediate_size)
     hf.setdefault("vocab_size", cfg.lm.vocab_size)
+    hf.setdefault("rope_theta", cfg.lm.rope_theta)
+    hf.setdefault("rms_norm_eps", cfg.lm.rms_norm_eps)
+    hf.setdefault("max_position_embeddings", cfg.lm.max_position_embeddings)
+    # compression + SVA attribute soup (read back by read_config, matching
+    # the reference's persisted config attrs, tdc/train.py:1123-1135)
     hf.setdefault("context_token_num", cfg.compression.context_token_num)
+    hf.setdefault("query_type", cfg.compression.query_type)
+    hf.setdefault("add_static", cfg.compression.add_static)
+    hf.setdefault("text_input", cfg.compression.text_input)
+    hf.setdefault("max_num_segments", cfg.compression.max_num_segments)
+    hf.setdefault("frame_pos", cfg.compression.frame_pos)
+    hf.setdefault("is_image_newline", cfg.compression.is_image_newline)
     hf.setdefault("image_token_len", cfg.sva.image_token_len)
     hf.setdefault("query_num_list", list(cfg.sva.query_num_list))
+    hf.setdefault("vision_hidden_size", cfg.sva.vision_hidden_size)
+    hf.setdefault("num_query_group", cfg.sva.num_query_group)
+    hf.setdefault("connector_depth", cfg.sva.connector_depth)
     hf.setdefault("audio_input", cfg.audio_input)
     hf.setdefault("tokenizer_model_max_length", cfg.tokenizer_model_max_length)
     with open(os.path.join(out_dir, "config.json"), "w") as fh:
@@ -275,7 +360,5 @@ def export_mm_adapter(params) -> Dict[str, Array]:
 def save_mm_adapter(params, path: str) -> None:
     import os
 
-    from safetensors.numpy import save_file
-
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    save_file(export_mm_adapter(params), path)
+    save_safetensors(export_mm_adapter(params), path)

@@ -24,9 +24,10 @@ def make_lm_sd(cfg, make, prefix="model."):
     for i in range(cfg.num_layers):
         lp = f"{prefix}layers.{i}."
         sd[lp + "input_layernorm.weight"] = make(H)
-        _lin_sd(sd, lp + "self_attn.q_proj", H, cfg.q_dim, make)
-        _lin_sd(sd, lp + "self_attn.k_proj", H, cfg.kv_dim, make)
-        _lin_sd(sd, lp + "self_attn.v_proj", H, cfg.kv_dim, make)
+        # qwen2 ships qkv biases, llama does not (config.LMConfig)
+        _lin_sd(sd, lp + "self_attn.q_proj", H, cfg.q_dim, make, bias=cfg.attention_bias)
+        _lin_sd(sd, lp + "self_attn.k_proj", H, cfg.kv_dim, make, bias=cfg.attention_bias)
+        _lin_sd(sd, lp + "self_attn.v_proj", H, cfg.kv_dim, make, bias=cfg.attention_bias)
         _lin_sd(sd, lp + "self_attn.o_proj", cfg.q_dim, H, make, bias=False)
         sd[lp + "post_attention_layernorm.weight"] = make(H)
         _lin_sd(sd, lp + "mlp.gate_proj", H, F, make, bias=False)
@@ -159,9 +160,13 @@ def write_checkpoint(path, cfg, audio=False):
 
     os.makedirs(path, exist_ok=True)
     save_file(sd, os.path.join(path, "model.safetensors"))
+    is_llama = cfg.lm.name != "qwen2"
     hf_cfg = {
-        "model_type": "cambrian_qwen",
-        "architectures": ["CambrianQwenForCausalLM"],
+        "model_type": "cambrian_llama" if is_llama else "cambrian_qwen",
+        "architectures": [
+            "CambrianLlamaForCausalLM" if is_llama else "CambrianQwenForCausalLM"
+        ],
+        "tie_word_embeddings": cfg.lm.tie_word_embeddings,
         "vocab_size": cfg.lm.vocab_size,
         "hidden_size": cfg.lm.hidden_size,
         "num_hidden_layers": cfg.lm.num_layers,
@@ -179,6 +184,10 @@ def write_checkpoint(path, cfg, audio=False):
             "lm": {
                 "head_dim": cfg.lm.head_dim,
                 "rope_theta": cfg.lm.rope_theta,
+                "rope_scaling": (
+                    list(cfg.lm.rope_scaling) if cfg.lm.rope_scaling else None
+                ),
+                "attention_bias": cfg.lm.attention_bias,
                 "pad_token_id": cfg.lm.pad_token_id,
                 "eos_token_ids": list(cfg.lm.eos_token_ids),
                 "max_position_embeddings": cfg.lm.max_position_embeddings,
@@ -287,3 +296,160 @@ class TestBuilder:
             max_visual_len=128,
         )
         assert toks.shape == (1, 3)
+
+
+def _tiny_llama():
+    """tdc_tiny with the Llama-family LM traits (tied embeddings, no qkv
+    bias) — the TDC-Llama3_2-3B artifact shape at test size."""
+    import dataclasses
+
+    from tdc_video_tpu.config import LM_TINY
+
+    lm = dataclasses.replace(
+        LM_TINY, name="llama", tie_word_embeddings=True, attention_bias=False
+    )
+    return dataclasses.replace(tdc_tiny(), lm=lm, conv_version="llama3_2")
+
+
+class TestCheckpointFlavorBijection:
+    """Closed loop over the reference's three artifact flavors x both LM
+    families: synthesize flavor -> load -> export (save_checkpoint_dir) ->
+    reload -> the param trees AND eager LM logits are identical.
+    Reference flavors: full dir, LoRA adapter + non_lora_trainables.bin,
+    mm-projector adapter (/root/reference/tdc/builder.py:81-178,
+    mm_trainer.py:487-535)."""
+
+    def _logits(self, cfg, params):
+        import jax.numpy as jnp
+
+        from tdc_video_tpu.models.lm import lm_forward
+
+        ids = jnp.asarray(np.arange(1, 9, dtype=np.int32))[None]
+        return np.asarray(
+            lm_forward(cfg.lm, params["lm"], input_ids=ids, dtype=jnp.float32)
+        )
+
+    def _assert_roundtrip(self, cfg, params, tmp_path, tag):
+        """Export -> reload -> bitwise tree equality + identical logits."""
+        import jax
+
+        from tdc_video_tpu.convert.to_hf import save_checkpoint_dir
+
+        out = str(tmp_path / f"export-{tag}")
+        save_checkpoint_dir(params, cfg, out)
+        _, model2, _, _ = load_pretrained_model(out, load_tokenizer=False)
+        flat1 = jax.tree_util.tree_leaves_with_path(params)
+        flat2 = dict(jax.tree_util.tree_leaves_with_path(model2.params))
+        assert len(flat1) == len(flat2)
+        for path, leaf in flat1:
+            np.testing.assert_array_equal(
+                np.asarray(leaf, np.float32),
+                np.asarray(flat2[path], np.float32),
+                err_msg=f"{tag}: {path}",
+            )
+        np.testing.assert_array_equal(
+            self._logits(cfg, params), self._logits(model2.cfg, model2.params)
+        )
+
+    @pytest.mark.parametrize("family", ["qwen2", "llama"], ids=str)
+    def test_full_flavor(self, tmp_path, family):
+        cfg = tdc_tiny() if family == "qwen2" else _tiny_llama()
+        path = str(tmp_path / "full")
+        write_checkpoint(path, cfg)
+        _, model, _, _ = load_pretrained_model(path, load_tokenizer=False)
+        assert model.cfg.lm.name == cfg.lm.name
+        assert model.cfg.lm.tie_word_embeddings == cfg.lm.tie_word_embeddings
+        self._assert_roundtrip(model.cfg, model.params, tmp_path, f"full-{family}")
+
+    @pytest.mark.parametrize("family", ["qwen2", "llama"], ids=str)
+    def test_lora_flavor(self, tmp_path, family):
+        """peft-layout LoRA over a base checkpoint: merged weights must equal
+        the numpy oracle base + B@A*(alpha/r), plus non-LoRA overrides."""
+        import torch
+        from safetensors.numpy import save_file
+
+        cfg = tdc_tiny() if family == "qwen2" else _tiny_llama()
+        base_path = str(tmp_path / "base")
+        base_sd = write_checkpoint(base_path, cfg)
+
+        rng = np.random.default_rng(21)
+        r, alpha = 2, 8
+        adapter = {}
+        H, Q = cfg.lm.hidden_size, cfg.lm.q_dim
+        for i in range(cfg.lm.num_layers):
+            k = f"base_model.model.model.layers.{i}.self_attn.q_proj"
+            adapter[k + ".lora_A.weight"] = rng.normal(0, 0.1, (r, H)).astype(np.float32)
+            adapter[k + ".lora_B.weight"] = rng.normal(0, 0.1, (Q, r)).astype(np.float32)
+        new_frame_seg = rng.normal(0, 1, base_sd["model.frame_seg"].shape).astype(
+            np.float32
+        )
+        lora_path = str(tmp_path / "tdc-lora-ft")
+        os.makedirs(lora_path, exist_ok=True)
+        save_file(adapter, os.path.join(lora_path, "adapter_model.safetensors"))
+        torch.save(
+            {"base_model.model.model.frame_seg": torch.from_numpy(new_frame_seg)},
+            os.path.join(lora_path, "non_lora_trainables.bin"),
+        )
+        with open(os.path.join(lora_path, "adapter_config.json"), "w") as fh:
+            json.dump({"r": r, "lora_alpha": alpha}, fh)
+        # the reference reads the config from the LoRA dir (builder.py:84)
+        import shutil
+
+        shutil.copy(
+            os.path.join(base_path, "config.json"),
+            os.path.join(lora_path, "config.json"),
+        )
+
+        _, model, _, _ = load_pretrained_model(
+            lora_path, model_base=base_path, model_name="tdc-lora-ft",
+            load_tokenizer=False,
+        )
+        # numpy oracle: merged q_proj == base + B @ A * (alpha/r)
+        for i in range(cfg.lm.num_layers):
+            k = f"base_model.model.model.layers.{i}.self_attn.q_proj"
+            want = (
+                base_sd[f"model.layers.{i}.self_attn.q_proj.weight"]
+                + adapter[k + ".lora_B.weight"]
+                @ adapter[k + ".lora_A.weight"]
+                * (alpha / r)
+            )
+            got = np.asarray(model.params["lm"]["layers"]["q_proj"]["w"][i]).T
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(model.params["compressor"]["frame_seg"], np.float32),
+            new_frame_seg,
+            rtol=1e-6,
+        )
+        self._assert_roundtrip(model.cfg, model.params, tmp_path, f"lora-{family}")
+
+    @pytest.mark.parametrize("family", ["qwen2", "llama"], ids=str)
+    def test_mm_adapter_flavor(self, tmp_path, family):
+        """mm-projector adapter over a base: SVA + image_newline replaced,
+        everything else from the base; round-trips bijectively."""
+        from tdc_video_tpu.builder import load_mm_adapter
+        from tdc_video_tpu.convert.to_hf import save_mm_adapter
+        from tdc_video_tpu.model import init_tdc
+
+        import jax
+
+        cfg = tdc_tiny() if family == "qwen2" else _tiny_llama()
+        base_path = str(tmp_path / "base")
+        write_checkpoint(base_path, cfg)
+        _, model, _, _ = load_pretrained_model(base_path, load_tokenizer=False)
+
+        donor = init_tdc(jax.random.PRNGKey(9), model.cfg)
+        adapter_path = os.path.join(str(tmp_path), "mm_projector.bin")
+        save_mm_adapter(donor, adapter_path)
+        merged = load_mm_adapter(model.params, adapter_path, model.cfg)
+
+        # adapter keys replaced, base keys untouched
+        np.testing.assert_allclose(
+            np.asarray(merged["image_newline"], np.float32),
+            np.asarray(donor["image_newline"], np.float32),
+            rtol=1e-6,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(merged["lm"]["embed"]["embedding"]),
+            np.asarray(model.params["lm"]["embed"]["embedding"]),
+        )
+        self._assert_roundtrip(model.cfg, merged, tmp_path, f"adapter-{family}")
