@@ -40,6 +40,10 @@ def main(argv=None):
         metavar="LOGDIR",
         help="capture a jax.profiler device trace of the training run into LOGDIR",
     )
+    ap.add_argument(
+        "--report_to", default=None, choices=["jsonl", "tensorboard", "none"],
+        help="override the stage preset's metrics sink",
+    )
     args = ap.parse_args(argv)
 
     if args.coordinator:
@@ -65,6 +69,8 @@ def main(argv=None):
             overrides[f] = v
     if args.batch_size is not None:
         overrides["per_device_train_batch_size"] = args.batch_size
+    if args.report_to is not None:
+        overrides["report_to"] = args.report_to
     tcfg = dataclasses.replace(tcfg, output_dir=args.output_dir, **overrides)
 
     tokenizer, model, _, _ = load_pretrained_model(args.model_path)
@@ -123,13 +129,28 @@ def main(argv=None):
 
     # Final artifact in the reference layout (LoRA baked in), next to the
     # Orbax train state — the save_pretrained step of the reference
-    # (tdc/train.py:1277-1294).
+    # (tdc/train.py:1277-1294).  Multi-host: params are sharded across
+    # processes, so replicate them through one jitted identity (GSPMD
+    # all-gather over ICI/DCN) before the rank-0 host writes the file.
     import os
 
     from ..convert.to_hf import save_checkpoint_dir
 
+    merged = trainer.export_merged()
+    if jax.process_count() > 1:
+        import numpy as np
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rep = NamedSharding(trainer.mesh, PartitionSpec())
+        merged = jax.jit(lambda p: p, out_shardings=rep)(merged)
+        merged = jax.tree_util.tree_map(np.asarray, merged)
     final = os.path.join(tcfg.output_dir, "final")
-    save_checkpoint_dir(trainer.export_merged(), model.cfg, final)
+    if jax.process_index() == 0:
+        save_checkpoint_dir(merged, model.cfg, final)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("tdc_final_export")
     print(f"done at step {trainer.step}; checkpoints in {tcfg.output_dir}; final model in {final}")
 
 

@@ -385,6 +385,11 @@ class Trainer:
     # -- logging / checkpointing ----------------------------------------------
 
     def log(self, metrics: Dict[str, float]):
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            # multi-host: metrics are identical on every host (same global
+            # batch, replicated loss); only rank 0 writes, like the
+            # reference's rank-gated Trainer logging
+            return
         metrics = {"step": self.step, "time": time.time(), **metrics}
         if self.tcfg.report_to == "tensorboard":
             if self._tb is None:
@@ -457,12 +462,12 @@ class Trainer:
             else:
                 import threading
 
-                from safetensors.numpy import save_file
+                from ..convert.to_hf import save_safetensors
 
                 self._join_adapter_write()
                 host = export_mm_adapter(self.params)  # device->host fetch
                 self._adapter_thread = threading.Thread(
-                    target=save_file, args=(host, path), daemon=True
+                    target=save_safetensors, args=(host, path), daemon=True
                 )
                 self._adapter_thread.start()
 
