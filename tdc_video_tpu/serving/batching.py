@@ -76,9 +76,16 @@ class Request:
     # for multi-question video QA.
     prefix_key: Any = None
     prefix_len: int = 0
+    # wall-clock budget in seconds, measured from submit(); a request past
+    # its timeout is finalized with timed_out=True at the next chunk boundary
+    # (queued: before its prefill ever runs)
+    timeout_s: Optional[float] = None
     # filled by the engine
     tokens: List[int] = field(default_factory=list)
     done: bool = False
+    cancelled: bool = False
+    timed_out: bool = False
+    submit_t: float = 0.0
 
 
 @dataclass
@@ -159,6 +166,7 @@ class DecodeEngine:
         self._pending: Optional[_PendingPrefill] = None
         self.mesh = mesh
         self.on_tokens = on_tokens
+        self.on_tokens_errors: List[Exception] = []
 
         self.cache = lm_mod.init_kv_cache(cfg.lm, num_slots, capacity, cfg.dtype, quant=kv_quant)
         if mesh is not None:
@@ -195,6 +203,33 @@ class DecodeEngine:
         self._jprefix = jax.jit(self._prefill_prefix)
         self._jextend = jax.jit(self._extend_one)
         self._jchunk = jax.jit(self._decode_chunk)
+
+    def reset(self, on_tokens=None):
+        """Clear per-run request state so the engine can be reused across
+        independent batches (eval answer_many reuses engines keyed on their
+        compile shape).  The jitted kernels and KV buffers survive — slot
+        reads are length-masked, so stale cache content from a previous run
+        is unreachable — which is the whole point: reuse skips the per-call
+        prefill/decode recompiles a fresh engine would pay."""
+        self._pending = None
+        self._requests = [None] * self.num_slots
+        self._budget = np.zeros(self.num_slots, np.int32)
+        self._last_tok = self._rep(jnp.zeros((self.num_slots,), jnp.int32))
+        self._active = self._rep(jnp.zeros((self.num_slots,), jnp.bool_))
+        self._queue = []
+        self._finished = []
+        self._prefixes = {}
+        self.steps = 0
+        self.prefix_prefills = 0
+        self.prefill_chunks = 0
+        self.chunk_times = []
+        if self.spec_window >= 2:
+            self._hist = self._rep(
+                jnp.zeros((self.num_slots, self._hist_cap), jnp.int32)
+            )
+            self._hist_len = self._rep(jnp.zeros((self.num_slots,), jnp.int32))
+        self.on_tokens = on_tokens
+        self.on_tokens_errors = []
 
     def _rep(self, x):
         """Replicate a small state array onto the serving mesh (no-op
@@ -311,7 +346,81 @@ class DecodeEngine:
     # -- host-side engine ---------------------------------------------------
 
     def submit(self, req: Request):
+        req.submit_t = _time.perf_counter()
         self._queue.append(req)
+
+    def cancel(self, uid: Any) -> bool:
+        """Cancel the request with this uid: queued (or pending-prefill)
+        requests are finalized immediately; an in-flight slot is released at
+        the next chunk boundary.  The request lands in run()'s result list
+        with cancelled=True and whatever tokens it had produced.  Returns
+        False when no live request has the uid."""
+        for req in self._queue:
+            if req.uid == uid:
+                req.cancelled = True
+                return True
+        if self._pending is not None and self._pending.req.uid == uid:
+            self._pending.req.cancelled = True
+            return True
+        for req in self._requests:
+            if req is not None and req.uid == uid:
+                req.cancelled = True
+                return True
+        return False
+
+    def _emit_tokens(self, req: Request, new: List[int]):
+        """on_tokens with exception isolation: a raising user callback must
+        not corrupt engine state — an error propagating out of a harvest
+        would strand the remaining slots' tokens of that chunk and leave
+        finished requests occupying their slots forever.  Errors are
+        collected in `on_tokens_errors` (streaming degrades, decoding
+        completes); callers who must fail hard can inspect it after run()."""
+        if self.on_tokens is None:
+            return
+        try:
+            self.on_tokens(req, new)
+        except Exception as e:
+            self.on_tokens_errors.append(e)
+
+    def _expired(self, req: Request) -> bool:
+        return req.timeout_s is not None and (
+            _time.perf_counter() - req.submit_t > req.timeout_s
+        )
+
+    def _finalize_dead(self, req: Request):
+        req.timed_out = req.timed_out or (not req.cancelled and self._expired(req))
+        req.done = True
+        self._finished.append(req)
+
+    def _sweep_dead(self):
+        """Release cancelled/timed-out requests wherever they live.  Runs at
+        every chunk boundary, so a cancel() or timeout takes effect within
+        one decode chunk — a queued victim never even prefills."""
+        keep = []
+        for r in self._queue:
+            if r.cancelled or self._expired(r):
+                self._finalize_dead(r)
+            else:
+                keep.append(r)
+        self._queue = keep
+        if self._pending is not None:
+            req = self._pending.req
+            if req.cancelled or self._expired(req):
+                self._finalize_dead(req)
+                self._pending = None  # drop the half-built cache
+        freed = []
+        for slot in range(self.num_slots):
+            req = self._requests[slot]
+            if req is not None and (req.cancelled or self._expired(req)):
+                self._finalize_dead(req)
+                self._requests[slot] = None
+                self._budget[slot] = 0
+                freed.append(slot)
+        if freed:
+            act = self._active
+            for slot in freed:
+                act = act.at[slot].set(False)
+            self._active = self._rep(act)
 
     def _free_slot(self) -> Optional[int]:
         for slot in range(self.num_slots):
@@ -429,8 +538,7 @@ class DecodeEngine:
         L = req.embeds.shape[1]
         self.cache = _insert_cache(self.cache, cache1, slot)
         req.tokens.append(first_i)
-        if self.on_tokens is not None:
-            self.on_tokens(req, [first_i])
+        self._emit_tokens(req, [first_i])
         # Each decode step writes KV at position `lengths`; generating G
         # post-prefill tokens needs L+G <= capacity, else decode_step's
         # write_pos clamp (models/lm.py) would silently overwrite the last
@@ -468,8 +576,8 @@ class DecodeEngine:
             n = int(budget_before[slot] - self._budget[slot])  # active steps taken
             new = [int(t) for t in toks[slot][:n]]
             req.tokens.extend(new)
-            if new and self.on_tokens is not None:
-                self.on_tokens(req, new)
+            if new:
+                self._emit_tokens(req, new)
             if not bool(self._active[slot]):
                 req.done = True
                 self._finished.append(req)
@@ -487,8 +595,8 @@ class DecodeEngine:
                 n = int(ms[i, slot])
                 new.extend(int(t) for t in gs[i, slot, :n])
             req.tokens.extend(new)
-            if new and self.on_tokens is not None:
-                self.on_tokens(req, new)
+            if new:
+                self._emit_tokens(req, new)
             if not bool(self._active[slot]):
                 req.done = True
                 self._finished.append(req)
@@ -515,6 +623,7 @@ class DecodeEngine:
             or self._pending is not None
             or any(r is not None for r in self._requests)
         ):
+            self._sweep_dead()
             self._admit()
             self._gc_prefixes()
             if self._pending is not None:

@@ -586,3 +586,164 @@ class TestStreamingAndPrefixGC:
         assert len(done) == 3
         assert eng.prefix_prefills == 1  # still shared across all three
         assert eng._prefixes == {}  # donor released once the queue drained
+
+
+class TestEngineRobustness:
+    """Cancellation, per-request timeouts, callback exception isolation, and
+    an adversarial no-stranding soak (round-4 engine invariants):
+
+    1. every submitted request comes back from run() exactly once — finished,
+       cancelled, or timed out — and the engine is empty afterwards;
+    2. cancel()/timeout take effect within one chunk boundary and never
+       disturb the tokens of other in-flight requests;
+    3. a raising on_tokens callback degrades streaming (errors collected in
+       on_tokens_errors) but never corrupts decode state."""
+
+    def test_cancel_queued_never_prefills(self, setup):
+        cfg, params = setup
+        rng = np.random.default_rng(8)
+        keep_ids, kill_ids = rng.integers(2, 90, 7), rng.integers(2, 90, 5)
+        eng = DecodeEngine(cfg, params, num_slots=1, capacity=64, chunk_tokens=4)
+        eng.submit(_req(cfg, params, keep_ids, 6))
+        victim = _req(cfg, params, kill_ids, 6)
+        victim.uid = "victim"
+        eng.submit(victim)
+        assert eng.cancel("victim")
+        assert not eng.cancel("no-such-uid")
+        done = eng.run()
+        by_uid = {r.uid: r for r in done}
+        assert len(done) == 2
+        v = by_uid["victim"]
+        assert v.cancelled and v.done and v.tokens == []  # never admitted
+        keep = by_uid[tuple(np.asarray(keep_ids, np.int32))]
+        assert keep.tokens[: len(_solo(cfg, params, keep_ids, 6))] == _solo(
+            cfg, params, keep_ids, 6
+        )
+
+    def test_cancel_inflight_from_callback(self, setup):
+        """Cancel one slot while another is mid-decode: the victim stops
+        within a chunk, the survivor's tokens are untouched."""
+        cfg, params = setup
+        rng = np.random.default_rng(9)
+        a_ids, b_ids = rng.integers(2, 90, 7), rng.integers(2, 90, 9)
+        state = {"cancelled": False}
+
+        eng = DecodeEngine(cfg, params, num_slots=2, capacity=64, chunk_tokens=2)
+
+        def on_tokens(req, new):
+            if req.uid == "a" and len(req.tokens) >= 3 and not state["cancelled"]:
+                state["cancelled"] = eng.cancel("b")
+
+        eng.on_tokens = on_tokens
+        ra = _req(cfg, params, a_ids, 12)
+        ra.uid = "a"
+        rb = _req(cfg, params, b_ids, 64)
+        rb.uid = "b"
+        eng.submit(ra)
+        eng.submit(rb)
+        done = {r.uid: r for r in eng.run()}
+        assert state["cancelled"]
+        assert done["b"].cancelled and done["b"].done
+        assert len(done["b"].tokens) < 64  # stopped well short of budget
+        want = _solo(cfg, params, a_ids, 12)
+        assert done["a"].tokens[: len(want)] == want
+        assert not done["a"].cancelled
+
+    def test_timeout_expires_queued_and_inflight(self, setup):
+        cfg, params = setup
+        rng = np.random.default_rng(10)
+        ok_ids, late_ids = rng.integers(2, 90, 6), rng.integers(2, 90, 6)
+        eng = DecodeEngine(cfg, params, num_slots=2, capacity=64, chunk_tokens=2)
+        ok = _req(cfg, params, ok_ids, 6)
+        ok.uid = "ok"
+        late = _req(cfg, params, late_ids, 6)
+        late.uid = "late"
+        late.timeout_s = 0.0  # expired the moment run() sweeps
+        eng.submit(ok)
+        eng.submit(late)
+        done = {r.uid: r for r in eng.run()}
+        assert done["late"].timed_out and done["late"].done
+        assert not done["late"].cancelled
+        assert done["late"].tokens == []
+        assert not done["ok"].timed_out
+        want = _solo(cfg, params, ok_ids, 6)
+        assert done["ok"].tokens[: len(want)] == want
+
+    def test_on_tokens_exception_does_not_corrupt(self, setup):
+        cfg, params = setup
+        rng = np.random.default_rng(11)
+        prompts = [rng.integers(2, 90, 7), rng.integers(2, 90, 9)]
+
+        def bomb(req, new):
+            raise RuntimeError("client went away")
+
+        eng = DecodeEngine(
+            cfg, params, num_slots=2, capacity=64, chunk_tokens=4,
+            on_tokens=bomb,
+        )
+        for ids in prompts:
+            eng.submit(_req(cfg, params, ids, 8))
+        done = eng.run()
+        assert len(done) == len(prompts)
+        assert eng.on_tokens_errors and all(
+            isinstance(e, RuntimeError) for e in eng.on_tokens_errors
+        )
+        by_uid = {r.uid: r.tokens for r in done}
+        for ids in prompts:
+            want = _solo(cfg, params, ids, 8)
+            assert by_uid[tuple(np.asarray(ids, np.int32))][: len(want)] == want
+
+    @pytest.mark.parametrize(
+        "mode",
+        [
+            dict(prefill_chunk=4),
+            dict(spec_window=3),
+        ],
+        ids=["chunked", "spec"],
+    )
+    def test_no_request_stranded_under_adversarial_stream(self, setup, mode):
+        """Random arrivals x shared prefixes x cancels x timeouts: every
+        request returns exactly once and the engine drains empty."""
+        cfg, params = setup
+        rng = np.random.default_rng(123)
+        shared = rng.integers(2, 90, 12)
+        eng = DecodeEngine(
+            cfg, params, num_slots=2, capacity=64, chunk_tokens=2, **mode
+        )
+        n, returned = 14, []
+        submitted = 0
+        while submitted < n:
+            for _ in range(2 if submitted == 0 else 1):
+                if submitted >= n:
+                    break
+                uid = f"r{submitted}"
+                if submitted % 3 == 0 and not mode.get("spec_window"):
+                    # shared-prefix pair: same video prompt, distinct suffix
+                    ids = np.concatenate([shared, rng.integers(2, 90, 3)])
+                    r = _req(cfg, params, ids, int(rng.integers(1, 8)))
+                    r.prefix_key = "vid"
+                    r.prefix_len = len(shared)
+                else:
+                    ids = rng.integers(2, 90, int(rng.integers(3, 14)))
+                    r = _req(cfg, params, ids, int(rng.integers(1, 8)))
+                r.uid = uid
+                if submitted % 5 == 1:
+                    r.timeout_s = 0.0  # instant timeout
+                if mode.get("spec_window"):
+                    r.prompt_ids = np.asarray(ids, np.int32)
+                eng.submit(r)
+                if submitted % 4 == 2:
+                    eng.cancel(uid)  # cancel while still queued
+                submitted += 1
+            returned += eng.run()
+        returned += eng.run()  # idempotent: nothing left to drain
+        uids = [r.uid for r in returned]
+        assert sorted(uids) == sorted(f"r{i}" for i in range(n)), uids
+        assert len(set(uids)) == n  # exactly once each
+        # engine fully drained: nothing stranded anywhere
+        assert eng._queue == [] and eng._pending is None
+        assert all(r is None for r in eng._requests)
+        assert not bool(np.asarray(eng._active).any())
+        for r in returned:
+            assert r.done
+            assert len(r.tokens) <= r.max_new_tokens
