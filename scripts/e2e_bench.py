@@ -7,7 +7,14 @@ and the greedy decode loop.  Reports a per-stage table, time-to-first-token
 (everything before the first generated token), and end-to-end wall vs
 playback.  Structural int8 weights passed as jit args (honest; PERF.md).
 
-Usage: python scripts/e2e_bench.py [minutes] [3b|7b] [kv8]
+Usage: python scripts/e2e_bench.py [minutes] [3b|7b] [kv8] [mesh=DxM]
+
+mesh=DxM (e.g. mesh=4x2) runs the multi-chip serving path: frames shard over
+the `data` axis inside StreamingEncoder (encode scales ~linearly with D), the
+LM shards over `model` for TP prefill/decode.  On a host with fewer devices
+than DxM, set JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
+to validate the sharded path (numbers are then CPU-meaningless; the table
+still prints).
 """
 import os, sys, time, dataclasses, tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -29,6 +36,14 @@ def main():
     minutes = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
     which = sys.argv[2] if len(sys.argv) > 2 else "7b"
     kv_quant = "int8" if "kv8" in sys.argv[3:] else None
+    mesh = None
+    for arg in sys.argv[3:]:
+        if arg.startswith("mesh="):
+            from tdc_video_tpu.parallel.mesh import make_mesh
+
+            n_data, n_model = (int(x) for x in arg[5:].lower().split("x"))
+            mesh = make_mesh(n_data, n_model)
+            print(f"mesh: {n_data}x{n_model} over {n_data * n_model} devices")
     NEW = 64
 
     src_fps = 24.0
@@ -49,8 +64,18 @@ def main():
     shapes["dino"] = jax.eval_shape(quantize_vit_int8, shapes["dino"])
     shapes["lm"] = jax.eval_shape(quantize_lm_int8, shapes["lm"])
     params = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    if mesh is not None:
+        from tdc_video_tpu.parallel.sharding import (
+            lm_param_spec, replicated_spec, shard_tree,
+        )
 
-    enc = StreamingEncoder(cfg, params, chunk_frames=32, max_frames=1000)
+        spec = {
+            k: (lm_param_spec(v) if k == "lm" else replicated_spec(v))
+            for k, v in params.items()
+        }
+        params = shard_tree(params, spec, mesh)
+
+    enc = StreamingEncoder(cfg, params, chunk_frames=32, max_frames=1000, mesh=mesh)
 
     MAX_LEN, MAX_VIS, L = 4096, 3584, 64
     rng = np.random.default_rng(0)

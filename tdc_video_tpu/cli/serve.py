@@ -52,6 +52,14 @@ def main(argv=None):
         "question index) instead of only the final answers",
     )
     ap.add_argument(
+        "--mesh", default=None, metavar="DxM",
+        help="multi-chip serving over a data-x-model device mesh (e.g. 4x2 "
+        "on a v5e-8): frames shard over `data` for tower encode, the LM "
+        "shards over `model` for tensor-parallel prefill/decode, and the "
+        "engine KV cache shards with the heads — token-identical to "
+        "single-chip serving (tests/test_parallel.py)",
+    )
+    ap.add_argument(
         "--prefill_chunk", type=int, default=0,
         help="chunked admission: prefill long prompts N tokens per decode "
         "chunk so new questions never stall in-flight answers for a whole "
@@ -100,6 +108,14 @@ def main(argv=None):
     elif model.cfg.audio_input:
         wav = load_audio(args.video)
 
+    mesh = None
+    if args.mesh:
+        from ..parallel.mesh import make_mesh
+
+        n_data, n_model = (int(x) for x in args.mesh.lower().split("x"))
+        mesh = make_mesh(n_data, n_model)
+        print(f"mesh: {n_data}x{n_model} over {n_data * n_model} devices")
+
     predictor = TDCPredictor(
         model.cfg,
         model.params,
@@ -109,6 +125,7 @@ def main(argv=None):
         max_eval_frames=args.max_frames,
         act_quant=(args.quantize == "int8-all"),
         spec_window=args.spec_window,
+        mesh=mesh,
     )
     on_tokens = None
     if args.stream:

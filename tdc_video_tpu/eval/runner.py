@@ -104,8 +104,27 @@ class TDCPredictor:
         act_quant: bool = False,  # int8 MXU prefill (use with int8 weights)
         spec_window: int = 0,  # >=2: prompt-lookup speculative decode (greedy)
         spec_ngram: int = 3,
+        mesh=None,  # jax.sharding.Mesh("data","model"): multi-chip serving.
+        # Frames shard over `data` for tower encode (near-linear single-video
+        # ingest scaling), the LM shards Megatron-style over `model` for TP
+        # prefill/decode, and answer_many's DecodeEngine shards its KV cache
+        # over the same axis.  Params are (re)sharded here; token-identical
+        # to single-device serving (tests/test_parallel.py).
     ):
         self.cfg = cfg
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.sharding import (
+                lm_param_spec,
+                replicated_spec,
+                shard_tree,
+            )
+
+            spec = {
+                k: (lm_param_spec(v) if k == "lm" else replicated_spec(v))
+                for k, v in params.items()
+            }
+            params = shard_tree(params, spec, mesh)
         self.params = params
         self.tok = tokenizer if isinstance(tokenizer, HFTokenizerAdapter) else HFTokenizerAdapter(tokenizer)
         self.bert_tok = bert_tokenizer
@@ -125,6 +144,8 @@ class TDCPredictor:
         self._audio_cache: Dict[int, Any] = {}
         self._encode_cache: Dict[int, Any] = {}
         self._feat_cache: Tuple[Any, Any] = (None, None)  # one-video feature cache
+        self._engine_cache: Dict[Tuple, Any] = {}  # answer_many DecodeEngines,
+        # keyed on compile shape (slots, capacity, kv_quant, prefill_chunk)
         self.stats = PredictorStats()
 
     # -- compiled entry points ------------------------------------------------
@@ -138,10 +159,24 @@ class TDCPredictor:
         jfn = jax.jit(
             lambda params, sig, dino: encode_frames(
                 self.cfg, params, sig, dino, attn_impl=self.attn_impl
-            )
+            ),
+            **self._frame_shardings(2),
         )
         self._encode_cache[T] = jfn
         return jfn
+
+    def _frame_shardings(self, n_frame_args: int) -> dict:
+        """jit kwargs that shard per-frame tower inputs/outputs over the mesh
+        `data` axis (params keep their committed shardings via None)."""
+        if self.mesh is None:
+            return {}
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        fr = NamedSharding(self.mesh, P("data"))
+        return {
+            "in_shardings": (None,) + (fr,) * n_frame_args,
+            "out_shardings": (fr, fr),
+        }
 
     def _gen_fn(self, key: Tuple[int, int, int, bool, int]):
         T, L, max_vis, has_audio, mnt = key
@@ -205,7 +240,8 @@ class TDCPredictor:
                         self.cfg, params,
                         *[v.astype(self.cfg.dtype) for v in dp(x, self.cfg)],
                         attn_impl=self.attn_impl,
-                    )
+                    ),
+                    **self._frame_shardings(1),
                 )
             ff, df = self._encode_cache[key](self.params, jnp.asarray(u8))
             out = (ff, df, fmask, T)
@@ -529,26 +565,42 @@ class TDCPredictor:
         # window-1 slots for uncommitted verify tails
         cap_pad = mnt + max(self.spec_window - 1, 0)
         capacity = int(np.ceil((max(p[0].shape[1] for p in prefixes) + cap_pad) / 128) * 128)
-        eng = DecodeEngine(
-            cfg,
-            self.params,
-            num_slots=min(num_slots, len(prefixes)),
-            capacity=capacity,
-            attn_impl=self.attn_impl,
-            kv_quant=kv_quant or self.kv_quant,
-            act_quant=self.act_quant,
-            spec_window=self.spec_window,
-            spec_ngram=self.spec_ngram,
-            prefill_chunk=prefill_chunk,
-            on_tokens=on_tokens,
-        )
+        # Engines are reused across videos keyed on their compile shape:
+        # the jitted prefill/extend/decode kernels are bound per instance, so
+        # a fresh engine per call would recompile them for every video of an
+        # eval run.  capacity is 128-bucketed above, so keys repeat.
+        ekey = (min(num_slots, len(prefixes)), capacity,
+                kv_quant or self.kv_quant, prefill_chunk)
+        eng = self._engine_cache.get(ekey)
+        if eng is None:
+            eng = DecodeEngine(
+                cfg,
+                self.params,
+                num_slots=min(num_slots, len(prefixes)),
+                capacity=capacity,
+                attn_impl=self.attn_impl,
+                kv_quant=kv_quant or self.kv_quant,
+                act_quant=self.act_quant,
+                spec_window=self.spec_window,
+                spec_ngram=self.spec_ngram,
+                prefill_chunk=prefill_chunk,
+                mesh=self.mesh,
+                on_tokens=on_tokens,
+            )
+            self._engine_cache[ekey] = eng
+        else:
+            eng.reset(on_tokens=on_tokens)
         for i, (embeds, amask, pids) in enumerate(prefixes):
             eng.submit(Request(
                 embeds=embeds, attn_mask=amask, max_new_tokens=mnt, uid=i,
                 prompt_ids=pids,
                 prefix_key="video" if shared_p else None, prefix_len=shared_p,
             ))
-        done = eng.run()
+        if self.mesh is not None:
+            with self.mesh:
+                done = eng.run()
+        else:
+            done = eng.run()
         by_uid = {r.uid: r for r in done}
         return [
             self.tok.decode(_trim_generated(by_uid[i].tokens, cfg.lm)).strip()

@@ -165,13 +165,15 @@ class StreamingEncoder:
                     f"chunk_frames={chunk_frames} must divide evenly over the "
                     f"mesh data axis ({mesh.shape['data']})"
                 )
-            rep = NamedSharding(mesh, P())
             fr = NamedSharding(mesh, P("data"))
+            # params sharding is inferred (None): towers are replicated by
+            # callers, and a TP-sharded LM riding in the same tree must NOT
+            # be forced replicated here (it never enters the encode graph)
             self._encode = jax.jit(
-                enc, in_shardings=(rep, fr, fr), out_shardings=(fr, fr)
+                enc, in_shardings=(None, fr, fr), out_shardings=(fr, fr)
             )
             self._encode_u8 = jax.jit(
-                enc_u8, in_shardings=(rep, fr), out_shardings=(fr, fr)
+                enc_u8, in_shardings=(None, fr), out_shardings=(fr, fr)
             )
         else:
             self._encode = jax.jit(enc)

@@ -294,3 +294,164 @@ class TestTPEngine:
             tp.submit(self._req(cfg, sharded, ids, 10))
             got = tp.run()[0].tokens
         assert got == ref
+
+
+class TestStage3AudioLoRAMesh:
+    """The reference stage-3 configuration — BEATs audio in-graph + LoRA
+    masked optimizer (scripts/stage3/train_video_audio_qwen_lora.sh:8-9,
+    56-61) — running under the TP+FSDP mesh.  Sharded losses must equal the
+    single-device trainer's, and the LoRA update invariants (base LM frozen,
+    deltas moving) must hold under sharding."""
+
+    def _audio_batch(self, cfg, B, T=4, L=24, key=0):
+        from tdc_video_tpu.constants import IGNORE_INDEX
+
+        rng = np.random.default_rng(key)
+        s, d = cfg.siglip.image_size, cfg.dino.image_size
+        labels = np.full((B, L), IGNORE_INDEX, np.int32)
+        labels[:, 10:] = rng.integers(2, 100, (B, L - 10))
+        W = 2
+        S = W * 10
+        return {
+            "input_ids": np.asarray(rng.integers(2, 100, (B, L)), np.int32),
+            "labels": labels,
+            "image_pos": np.full((B,), 5, np.int32),
+            "text_len": np.full((B,), L, np.int32),
+            "has_image": np.ones((B,), bool),
+            "siglip_px": rng.normal(0, 1, (B, T, s, s, 3)).astype(np.float32),
+            "dino_px": rng.normal(0, 1, (B, T, d, d, 3)).astype(np.float32),
+            "frame_mask": np.ones((B, T), bool),
+            "qformer_text_ids": rng.integers(1, 50, (B, 6)).astype(np.int32),
+            "qformer_text_mask": np.ones((B, 6), bool),
+            "audio_windows": rng.normal(0, 0.05, (B, W, 160000)).astype(np.float32),
+            "audio_wmask": np.ones((B, W, 160000), bool),
+            "audio_frame_of_sec": np.clip(np.arange(S) // 2, 0, T - 1)[None]
+            .repeat(B, 0)
+            .astype(np.int32),
+            "audio_group_pos": (np.arange(S) % 2)[None].repeat(B, 0).astype(np.int32),
+            "audio_group_size": np.full((B, T), 2, np.int32),
+            "audio_sec_valid": np.ones((B, S), bool),
+        }
+
+    def _trainer(self, cfg, params, outdir, mesh):
+        from tdc_video_tpu.train.trainer import TrainConfig, Trainer
+
+        tcfg = TrainConfig(
+            output_dir=outdir,
+            learning_rate=1e-3,
+            lora_enable=True,
+            lora_r=4,
+            lora_alpha=8,
+            gradient_accumulation_steps=1,
+            # audio emits ~50 tokens/frame: the visual budget must hold all
+            # T*50+ctx tokens or audio_proj gets no gradient (truncated away)
+            model_max_length=512,
+            max_visual_len=400,
+        )
+        return Trainer(cfg, tcfg, params, total_steps=3, mesh=mesh)
+
+    @pytest.mark.slow
+    def test_sharded_stage3_matches_unsharded(self, tmp_path):
+        cfg = tdc_tiny(audio=True)
+        # host copies per trainer: train_step donates its param buffers, so
+        # two Trainers must not share device arrays
+        params = jax.tree_util.tree_map(
+            np.asarray, init_tdc(jax.random.PRNGKey(0), cfg)
+        )
+        batches = [self._audio_batch(cfg, B=4, key=k) for k in range(2)]
+
+        solo = self._trainer(
+            cfg, jax.tree_util.tree_map(np.copy, params),
+            str(tmp_path / "solo"), make_mesh(1, 1),
+        )
+        solo_losses = [float(solo.train_step(b)) for b in batches]
+
+        n_data, n_model = auto_mesh_shape(8, cfg.lm.num_kv_heads)
+        mesh = make_mesh(n_data, n_model)
+        tr = self._trainer(cfg, params, str(tmp_path / "mesh"), mesh)
+        lm_w0 = np.asarray(tr.params["lm"]["layers"]["q_proj"]["w"]).copy()
+        beats0 = [
+            np.asarray(x).copy()
+            for x in jax.tree_util.tree_leaves(tr.params["beats"])
+        ]
+        ap0 = [
+            np.asarray(x).copy()
+            for x in jax.tree_util.tree_leaves(tr.params["audio_proj"])
+        ]
+        b0 = np.asarray(tr.lora["layers/q_proj/w"]["b"]).copy()
+
+        mesh_losses = [float(tr.train_step(b)) for b in batches]
+        for got, ref in zip(mesh_losses, solo_losses):
+            assert np.isfinite(got)
+            np.testing.assert_allclose(got, ref, rtol=2e-4)
+
+        # LoRA invariants survive sharding: base LM untouched, delta moved
+        np.testing.assert_array_equal(
+            lm_w0, np.asarray(tr.params["lm"]["layers"]["q_proj"]["w"])
+        )
+        assert np.abs(np.asarray(tr.lora["layers/q_proj/w"]["b"]) - b0).max() > 0
+        # stage-3 freeze policy: BEATs stays frozen under the mesh...
+        for before, after in zip(
+            beats0, jax.tree_util.tree_leaves(tr.params["beats"])
+        ):
+            np.testing.assert_array_equal(before, np.asarray(after))
+        # ...while audio_proj trains through the sharded in-graph BEATs
+        moved = any(
+            np.abs(np.asarray(after) - before).max() > 0
+            for before, after in zip(
+                ap0, jax.tree_util.tree_leaves(tr.params["audio_proj"])
+            )
+        )
+        assert moved, "audio_proj did not move under the sharded stage-3 step"
+
+
+class TestMeshPredictor:
+    """TDCPredictor(mesh=...) — the cli/serve.py --mesh path: frames shard
+    over `data` for tower encode, the LM shards over `model` for TP
+    prefill/decode, answer_many's engine shards its KV cache.  Every answer
+    must be token-identical to the single-device predictor."""
+
+    @pytest.mark.slow
+    def test_mesh_predictor_matches_plain(self, tmp_path):
+        import sys as _sys
+        import os as _os
+
+        _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+        from test_builder import write_checkpoint
+        from test_eval import SimpleTokenizer
+
+        from tdc_video_tpu.builder import load_pretrained_model
+        from tdc_video_tpu.eval.runner import TDCPredictor
+
+        ckpt = str(tmp_path / "ckpt")
+        write_checkpoint(ckpt, tdc_tiny(), audio=False)
+        _, model, _, _ = load_pretrained_model(ckpt, load_tokenizer=False)
+
+        rng = np.random.default_rng(11)
+        frames = rng.integers(0, 255, (5, 48, 64, 3)).astype(np.uint8)
+        questions = ["What is shown?", "What color dominates?"]
+
+        def make(mesh):
+            return TDCPredictor(
+                model.cfg, model.params, SimpleTokenizer(), max_new_tokens=4,
+                text_bucket=128, mesh=mesh,
+            )
+
+        plain = make(None)
+        ref_solo = plain.answer(frames, questions[0], video_uid="v")
+        ref_many = plain.answer_many(frames, questions, video_uid="v",
+                                     num_slots=2)
+
+        mesh = make_mesh(*auto_mesh_shape(8, tdc_tiny().lm.num_kv_heads))
+        mp = make(mesh)
+        # params really are distributed (TP LM + replicated towers)
+        assert len(mp.params["lm"]["layers"]["q_proj"]["w"].sharding.device_set) == 8
+        assert mp.params["lm"]["layers"]["q_proj"]["w"].sharding.spec != (
+            jax.sharding.PartitionSpec()
+        )
+        assert mp.answer(frames, questions[0], video_uid="v") == ref_solo
+        assert mp.answer_many(frames, questions, video_uid="v",
+                              num_slots=2) == ref_many
+        # the per-frame tower features were computed frame-sharded
+        _, (ff, _, _, _) = mp._feat_cache
+        assert len(ff.sharding.device_set) == 8
