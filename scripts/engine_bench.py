@@ -71,9 +71,11 @@ def run(which, lm_cfg, kv_quant, spec=0):
             chunk_tokens=16 // max(spec, 1) or 1, attn_impl="flash",
             kv_quant=kv_quant, spec_window=spec,
         )
-        # warm all compiles (prefill + chunk)
+        # warm all compiles (prefill + chunk), then reset so timed-run
+        # telemetry (steps, chunk_spans) is not polluted by warmup
         eng.submit(make_req(100))
         eng.run()
+        eng.reset()
         reqs = [make_req(i) for i in range(slots)]
         t0 = time.perf_counter()
         for r in reqs:
@@ -84,30 +86,23 @@ def run(which, lm_cfg, kv_quant, spec=0):
         kv = f"+kv{kv_quant}" if kv_quant else ""
         sp = f"+spec{spec}" if spec else ""
 
-        # Dispatch-latency-corrected column: wall tok/s entangles serialized
-        # prefills and this host's per-dispatch tunnel latency (~30 ms), so
-        # it is not comparable across tunnels/hosts.  Median decode-chunk
-        # gap minus a measured trivial-kernel dispatch = per-chunk DEVICE
-        # time; tokens-per-chunk over that is the durable engine metric.
-        noop = jax.jit(lambda x: x + 1)
-        x = jnp.zeros((), jnp.int32)
-        noop(x).block_until_ready()
-        samples = []
-        for _ in range(20):
-            td = time.perf_counter()
-            x = noop(x)
-            x.block_until_ready()
-            samples.append(time.perf_counter() - td)
-        disp = float(np.median(samples))
-        gaps = np.diff(np.asarray(eng.chunk_times))
-        chunk_wall = float(np.median(gaps)) if len(gaps) else float("nan")
-        tok_per_chunk = n_tok / max(eng.steps, 1)
-        dev_rate = tok_per_chunk / max(chunk_wall - disp, 1e-9)
+        # Steady-state decode column: wall tok/s entangles the serialized
+        # per-request prefills and this host's ~30 ms/dispatch tunnel
+        # latency, so it is not comparable across tunnels/hosts.  chunk_spans
+        # time each jitted decode chunk dispatch->harvest (admission/prefill
+        # between chunks excluded); per-chunk overhead beyond compute is the
+        # harvest fetch (~1 dispatch RTT), printed for context.
+        spans = eng.chunk_spans
+        dev_t = sum(t1 - t0_ for t0_, t1, _ in spans)
+        dev_tok = sum(n for _, _, n in spans)
+        dev_rate = dev_tok / max(dev_t, 1e-9)
+        per_chunk = dev_t / max(len(spans), 1)
         print(
             f"{which} int8{kv}{sp} slots={slots}: {n_tok} tokens in {dt*1e3:.0f} ms "
             f"-> {n_tok/dt:.1f} tok/s wall ({n_tok/dt/slots:.1f}/slot); "
-            f"{dev_rate:.1f} tok/s device "
-            f"(chunk p50 {chunk_wall*1e3:.1f} ms - dispatch {disp*1e3:.1f} ms)"
+            f"decode {dev_rate:.1f} tok/s steady-state "
+            f"({dev_tok} tok / {len(spans)} chunks, {per_chunk*1e3:.0f} ms/chunk "
+            f"incl 1 fetch RTT)"
         )
 
 

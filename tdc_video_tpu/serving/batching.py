@@ -190,6 +190,10 @@ class DecodeEngine:
         self.chunk_times: List[float] = []  # perf_counter after each decode
         # chunk harvest — gaps between entries are the inter-token latency an
         # active stream actually sees (admission stalls show up as outliers)
+        self.chunk_spans: List[tuple] = []  # (t_dispatch, t_harvested, n_tok)
+        # per decode chunk: duration excludes admission/prefill between
+        # chunks, so sum(n)/sum(t1-t0) is the steady-state decode rate
+        self._harvested_last = 0
 
         if spec_window >= 2:
             # per-slot token history for prompt-lookup drafting: prompt TEXT
@@ -223,6 +227,8 @@ class DecodeEngine:
         self.prefix_prefills = 0
         self.prefill_chunks = 0
         self.chunk_times = []
+        self.chunk_spans = []
+        self._harvested_last = 0
         if self.spec_window >= 2:
             self._hist = self._rep(
                 jnp.zeros((self.num_slots, self._hist_cap), jnp.int32)
@@ -569,6 +575,7 @@ class DecodeEngine:
             self._hist_len = self._hist_len.at[slot].set(n + 1)
 
     def _harvest(self, toks: np.ndarray, budget_before: np.ndarray):
+        self._harvested_last = 0
         for slot in range(self.num_slots):
             req = self._requests[slot]
             if req is None:
@@ -576,6 +583,7 @@ class DecodeEngine:
             n = int(budget_before[slot] - self._budget[slot])  # active steps taken
             new = [int(t) for t in toks[slot][:n]]
             req.tokens.extend(new)
+            self._harvested_last += len(new)
             if new:
                 self._emit_tokens(req, new)
             if not bool(self._active[slot]):
@@ -586,6 +594,7 @@ class DecodeEngine:
     def _harvest_spec(self, gs: np.ndarray, ms: np.ndarray):
         """Pack the ragged speculative chunk output: iteration i of slot s
         emitted gs[i, s, :ms[i, s]]."""
+        self._harvested_last = 0
         for slot in range(self.num_slots):
             req = self._requests[slot]
             if req is None:
@@ -595,6 +604,7 @@ class DecodeEngine:
                 n = int(ms[i, slot])
                 new.extend(int(t) for t in gs[i, slot, :n])
             req.tokens.extend(new)
+            self._harvested_last += len(new)
             if new:
                 self._emit_tokens(req, new)
             if not bool(self._active[slot]):
@@ -639,6 +649,7 @@ class DecodeEngine:
                     continue
                 break
             if self.spec_window >= 2:
+                t0 = _time.perf_counter()
                 (
                     self.cache, self._last_tok, self._active, budget,
                     self._hist, self._hist_len, gs, ms,
@@ -650,8 +661,12 @@ class DecodeEngine:
                 self.steps += 1
                 self._harvest_spec(np.asarray(gs), np.asarray(ms))
                 self.chunk_times.append(_time.perf_counter())
+                self.chunk_spans.append(
+                    (t0, self.chunk_times[-1], self._harvested_last)
+                )
                 continue
             budget_before = self._budget.copy()
+            t0 = _time.perf_counter()
             self.cache, self._last_tok, self._active, budget, toks = self._jchunk(
                 self.params, self.cache, self._last_tok, self._active,
                 jnp.asarray(self._budget),
@@ -660,5 +675,8 @@ class DecodeEngine:
             self.steps += 1
             self._harvest(np.asarray(toks), budget_before)
             self.chunk_times.append(_time.perf_counter())
+            self.chunk_spans.append(
+                (t0, self.chunk_times[-1], self._harvested_last)
+            )
         out, self._finished = self._finished, []
         return out
