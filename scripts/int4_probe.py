@@ -29,15 +29,28 @@ ITERS = int(sys.argv[3]) if len(sys.argv) > 3 else 50
 G = 128
 
 
+K = 6  # distinct weight copies chained per scan step: amortizes the ~0.6 ms
+# per-iteration overhead that otherwise swamps the stream time at this size
+
+
 def loop(prep, body):
-    """jit( prep(args) -> streamed weights; scan ITERS x body )"""
+    """jit( prep(args) -> K streamed weight copies; scan ITERS x body-chain )"""
 
     def fn(x, *ws):
-        ws = jax.lax.optimization_barrier(prep(*ws))  # materialize in HBM
+        # K independent copies (salted so none can be CSE'd away), each
+        # materialized in HBM behind the barrier: one step streams K weights
+        wks = [
+            jax.lax.optimization_barrier(
+                prep(*[w + i if w.dtype != jnp.float32 else w for w in ws])
+            )
+            for i in range(K)
+        ]
 
         def step(c, _):
-            y = body(c, *ws) if isinstance(ws, tuple) else body(c, ws)
-            return (y[:, :H] * 1e-3 + c), None
+            for wk in wks:
+                y = body(c, *wk) if isinstance(wk, tuple) else body(c, wk)
+                c = y[:, :H] * 1e-3 + c
+            return c, None
 
         out, _ = jax.lax.scan(step, x, None, length=ITERS)
         return out
@@ -53,7 +66,7 @@ def timeit(name, fn, x, *ws):
         t0 = time.perf_counter()
         fn(xi, *ws).block_until_ready()
         ts.append(time.perf_counter() - t0)
-    per = min(ts) / ITERS
+    per = min(ts) / (ITERS * K)
     gb = bytes_of[name] / 1e9
     print(f"{name:12s}: {per*1e3:7.3f} ms/matvec  ({gb/per:.0f} GB/s apparent)")
     return per
