@@ -7,18 +7,21 @@ and the greedy decode loop.  Reports a per-stage table, time-to-first-token
 (everything before the first generated token), and end-to-end wall vs
 playback.  Structural int8 weights passed as jit args (honest; PERF.md).
 
-Usage: python scripts/e2e_bench.py [minutes] [3b|7b] [kv8] [mesh=DxM]
+Usage: python scripts/e2e_bench.py [minutes] [3b|7b|tiny] [kv8] [mesh=DxM]
 
 mesh=DxM (e.g. mesh=4x2) runs the multi-chip serving path: frames shard over
 the `data` axis inside StreamingEncoder (encode scales ~linearly with D), the
 LM shards over `model` for TP prefill/decode.  On a host with fewer devices
 than DxM, set JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
-to validate the sharded path (numbers are then CPU-meaningless; the table
-still prints).
+and use the `tiny` model to validate the sharded path executes (numbers are
+then CPU-meaningless; the table still prints).  Full-size models are not
+CPU-compilable in reasonable time on a 1-core host.
 """
 import os, sys, time, dataclasses, tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
+if os.environ.get("JAX_PLATFORMS"):  # axon sitecustomize force-sets "axon,cpu"
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_tdc"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 import numpy as np, jax.numpy as jnp
@@ -44,7 +47,7 @@ def main():
             n_data, n_model = (int(x) for x in arg[5:].lower().split("x"))
             mesh = make_mesh(n_data, n_model)
             print(f"mesh: {n_data}x{n_model} over {n_data * n_model} devices")
-    NEW = 64
+    NEW = 64 if which != "tiny" else 8
 
     src_fps = 24.0
     n_frames = int(minutes * 60 * src_fps)
@@ -54,8 +57,12 @@ def main():
         encode_test_video(path, 480, 360, fps=src_fps, n_frames=n_frames)
         print(f"fixture: {path} ({os.path.getsize(path)/1e6:.1f} MB, {time.time()-t0:.0f}s)")
 
-    cfg = C.tdc_qwen2_7b() if which == "7b" else C.tdc_llama32_3b()
-    cfg = dataclasses.replace(cfg, param_dtype=jnp.bfloat16)
+    cfg = {"7b": C.tdc_qwen2_7b, "3b": C.tdc_llama32_3b, "tiny": C.tdc_tiny}[which]()
+    if which != "tiny":
+        cfg = dataclasses.replace(cfg, param_dtype=jnp.bfloat16)
+    # tiny: shrink the static envelope so the CPU-mesh validation compiles fast
+    MAX_LEN, MAX_VIS, L = (4096, 3584, 64) if which != "tiny" else (256, 128, 16)
+    max_frames = 1000 if which != "tiny" else cfg.compression.max_eval_frames
 
     # structural zeros of the SERVING tree: int8 towers + int8 LM (single-chip
     # 7B fits only quantized, PERF.md), zeros as jit args
@@ -75,12 +82,12 @@ def main():
         }
         params = shard_tree(params, spec, mesh)
 
-    enc = StreamingEncoder(cfg, params, chunk_frames=32, max_frames=1000, mesh=mesh)
+    enc = StreamingEncoder(cfg, params, chunk_frames=32, max_frames=max_frames, mesh=mesh)
 
-    MAX_LEN, MAX_VIS, L = 4096, 3584, 64
     rng = np.random.default_rng(0)
+    txt = min(24, L - 2)
     ids = np.full((L,), cfg.lm.pad_token_id, np.int32)
-    ids[:24] = rng.integers(5, 1000, 24)
+    ids[:txt] = rng.integers(5, min(1000, cfg.lm.vocab_size - 1), txt)
 
     def lm_path(params, embeds, amask):
         cache = lm_mod.init_kv_cache(cfg.lm, 1, MAX_LEN + NEW, cfg.dtype, quant=kv_quant)
@@ -99,7 +106,7 @@ def main():
     jdecode = jax.jit(lambda p, c, f: decode_loop(cfg, p, c, f, NEW))
 
     def once(label, salt):
-        ids[20] = 5 + salt  # distinct args per run (axon memoizes identical runs)
+        ids[txt - 4] = 5 + salt  # distinct args per run (axon memoizes identical runs)
         stages = {}
         t0 = time.perf_counter()
         ff, df, fm, ts, st = enc.encode_stream(path, fps=1.0)
@@ -110,8 +117,8 @@ def main():
         stages["  device encode"] = st.encode_s
         mm = jprep(
             params, ff.astype(cfg.dtype), df.astype(cfg.dtype), fm,
-            jnp.asarray(ids)[None], jnp.asarray([10], jnp.int32),
-            jnp.asarray([24], jnp.int32),
+            jnp.asarray(ids)[None], jnp.asarray([min(10, txt // 2)], jnp.int32),
+            jnp.asarray([txt], jnp.int32),
         )
         np.asarray(mm["seq_len"])
         t2 = time.perf_counter()
