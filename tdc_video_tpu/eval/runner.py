@@ -466,6 +466,12 @@ class TDCPredictor:
         prefill_chunk: int = 0,
         on_tokens=None,  # callable(req, new_token_ids): stream partial
         # answers as slots decode (req.uid is the question index)
+        temperature: float = 0.0,  # >0: per-request sampling (the reference
+        # demo's do_sample path, main.py:64-65); every eval harness is greedy
+        top_k: int = 50,
+        top_p: float = 1.0,
+        seed: int = 0,  # request i samples with seed+i (distinct streams,
+        # each reproducible; serving/generate.sample_rows counter-mode keys)
     ) -> List[str]:
         """Answer several questions about ONE video through the
         continuous-batching DecodeEngine (serving/batching.py): the towers run
@@ -561,16 +567,19 @@ class TDCPredictor:
         if shared_p < prefix_share_threshold:
             shared_p = 0
 
+        # sampling is exact-greedy-incompatible with speculation: a sampled
+        # call routes to a plain-lockstep engine instead of the spec one
+        spec_window = 0 if temperature > 0.0 else self.spec_window
         # spec headroom: keep the full mnt budget despite the engine reserving
         # window-1 slots for uncommitted verify tails
-        cap_pad = mnt + max(self.spec_window - 1, 0)
+        cap_pad = mnt + max(spec_window - 1, 0)
         capacity = int(np.ceil((max(p[0].shape[1] for p in prefixes) + cap_pad) / 128) * 128)
         # Engines are reused across videos keyed on their compile shape:
         # the jitted prefill/extend/decode kernels are bound per instance, so
         # a fresh engine per call would recompile them for every video of an
         # eval run.  capacity is 128-bucketed above, so keys repeat.
         ekey = (min(num_slots, len(prefixes)), capacity,
-                kv_quant or self.kv_quant, prefill_chunk)
+                kv_quant or self.kv_quant, prefill_chunk, spec_window)
         eng = self._engine_cache.get(ekey)
         if eng is None:
             eng = DecodeEngine(
@@ -581,7 +590,7 @@ class TDCPredictor:
                 attn_impl=self.attn_impl,
                 kv_quant=kv_quant or self.kv_quant,
                 act_quant=self.act_quant,
-                spec_window=self.spec_window,
+                spec_window=spec_window,
                 spec_ngram=self.spec_ngram,
                 prefill_chunk=prefill_chunk,
                 mesh=self.mesh,
@@ -595,6 +604,8 @@ class TDCPredictor:
                 embeds=embeds, attn_mask=amask, max_new_tokens=mnt, uid=i,
                 prompt_ids=pids,
                 prefix_key="video" if shared_p else None, prefix_len=shared_p,
+                temperature=temperature, top_k=top_k, top_p=top_p,
+                seed=seed + i,
             ))
         if self.mesh is not None:
             with self.mesh:

@@ -28,6 +28,12 @@ TPU design notes:
   logits as a one-shot prefill up to bf16 reduction order (~0.2% rel, the
   same epsilon class as flash-vs-XLA attention); greedy output can differ
   only at near-ties;
+* per-request sampling (Request.temperature/top_k/top_p/seed, the reference
+  demo's do_sample path, main.py:64-65) runs in a separately-compiled
+  sampled chunk with counter-mode PRNG keys (generate.sample_rows): a
+  request's stream depends only on (seed, token index), never on slot
+  placement or batchmates, and greedy rows in a mixed batch stay
+  token-identical to the greedy chunk;
 * mesh=... serves tensor-parallel: params sharded with lm_param_spec, the
   shared KV cache sharded over the same `model` axis as the heads
   (parallel.sharding.kv_cache_spec) so cache reads/writes stay local, and
@@ -80,6 +86,18 @@ class Request:
     # its timeout is finalized with timed_out=True at the next chunk boundary
     # (queued: before its prefill ever runs)
     timeout_s: Optional[float] = None
+    # per-request sampling (the reference demo path: do_sample=True,
+    # temperature=0.2 through HF generate, /root/reference/main.py:64-65,
+    # which applies HF's warper order temperature -> top-k -> top-p).
+    # temperature 0.0 = greedy (every eval harness).  `seed` drives a
+    # counter-mode PRNG keyed on (seed, token index), so a sampled request's
+    # stream is reproducible and independent of slot placement and batch
+    # composition (serving/generate.sample_rows).  Sampling is incompatible
+    # with spec_window >= 2 (speculation is exact-greedy only).
+    temperature: float = 0.0
+    top_k: int = 0
+    top_p: float = 1.0
+    seed: int = 0
     # filled by the engine
     tokens: List[int] = field(default_factory=list)
     done: bool = False
@@ -102,6 +120,7 @@ class _PendingPrefill:
     cache1: Dict  # capacity-length batch-1 cache being filled
     pos: int = 0  # tokens committed so far
     first: Any = None  # last chunk's next-token argmax (valid when pos==total)
+    first_logits: Any = None  # last chunk's next-token logits (for sampling)
 
 
 def _insert_cache(shared: Dict, one: Dict, slot: int) -> Dict:
@@ -203,10 +222,24 @@ class DecodeEngine:
             self._hist_len = self._rep(jnp.zeros((num_slots,), jnp.int32))
             self._jchunk_spec = jax.jit(self._decode_chunk_spec)
 
+        # per-slot sampling state (Request.temperature > 0): the sampled
+        # chunk kernel compiles separately so all-greedy workloads never pay
+        # the per-step vocab sorts; greedy rows inside a mixed batch take the
+        # exact argmax either way (generate.sample_rows)
+        self._temp = self._rep(jnp.zeros((num_slots,), jnp.float32))
+        self._topk = self._rep(jnp.zeros((num_slots,), jnp.int32))
+        self._topp = self._rep(jnp.ones((num_slots,), jnp.float32))
+        self._seed = self._rep(jnp.zeros((num_slots,), jnp.int32))
+        self._genidx = self._rep(jnp.zeros((num_slots,), jnp.int32))
+
+        from .generate import sample_rows as _sample_rows
+
         self._jprefill = jax.jit(self._prefill_one, static_argnums=(3,))
         self._jprefix = jax.jit(self._prefill_prefix)
         self._jextend = jax.jit(self._extend_one)
         self._jchunk = jax.jit(self._decode_chunk)
+        self._jchunk_sampled = jax.jit(self._decode_chunk_sampled)
+        self._jsample_first = jax.jit(_sample_rows)
 
     def reset(self, on_tokens=None):
         """Clear per-run request state so the engine can be reused across
@@ -234,6 +267,11 @@ class DecodeEngine:
                 jnp.zeros((self.num_slots, self._hist_cap), jnp.int32)
             )
             self._hist_len = self._rep(jnp.zeros((self.num_slots,), jnp.int32))
+        self._temp = self._rep(jnp.zeros((self.num_slots,), jnp.float32))
+        self._topk = self._rep(jnp.zeros((self.num_slots,), jnp.int32))
+        self._topp = self._rep(jnp.ones((self.num_slots,), jnp.float32))
+        self._seed = self._rep(jnp.zeros((self.num_slots,), jnp.int32))
+        self._genidx = self._rep(jnp.zeros((self.num_slots,), jnp.int32))
         self.on_tokens = on_tokens
         self.on_tokens_errors = []
 
@@ -255,7 +293,7 @@ class DecodeEngine:
             attn_impl=self.attn_impl, dtype=self.cfg.dtype,
             act_quant=self.act_quant,
         )
-        return jnp.argmax(logits, -1).astype(jnp.int32), cache1
+        return jnp.argmax(logits, -1).astype(jnp.int32), logits, cache1
 
     def _prefill_prefix(self, params, embeds, attn_mask):
         """Prefill a shared prefix into a batch-1 cache at FULL engine
@@ -278,7 +316,7 @@ class DecodeEngine:
             self.cfg.lm, params["lm"], suffix_embeds, n_valid, cache1,
             attn_impl=self.attn_impl, dtype=self.cfg.dtype,
         )
-        return jnp.argmax(logits, -1).astype(jnp.int32), cache1
+        return jnp.argmax(logits, -1).astype(jnp.int32), logits, cache1
 
     def _decode_chunk(self, params, cache, tok, active, budget):
         eos = jnp.asarray(self.cfg.lm.eos_token_ids, jnp.int32)
@@ -302,6 +340,40 @@ class DecodeEngine:
             body, (cache, tok, active, budget), None, length=self.chunk_tokens
         )
         return cache, tok, active, budget, toks.T  # [slots, chunk]
+
+    def _decode_chunk_sampled(
+        self, params, cache, tok, active, budget, temp, topk, topp, seed, gidx
+    ):
+        """Sampled lockstep chunk: per-slot HF-warper-order sampling
+        (generate.sample_rows) with counter-mode keys carried as a per-slot
+        token index `gidx`.  Greedy rows (temperature 0) take exactly the
+        greedy chunk's argmax, so mixed batches stay token-identical for
+        them.  Compiled separately from _decode_chunk: all-greedy workloads
+        never pay the per-step vocab sorts."""
+        from .generate import sample_rows
+
+        eos = jnp.asarray(self.cfg.lm.eos_token_ids, jnp.int32)
+
+        def body(carry, _):
+            cache, tok, active, budget, gidx = carry
+            embeds = lm_mod.embed_tokens(self.cfg.lm, params["lm"], tok[:, None], self.cfg.dtype)
+            logits, cache = lm_mod.decode_step(
+                self.cfg.lm, params["lm"], embeds, cache,
+                attn_impl=self.attn_impl, dtype=self.cfg.dtype, active=active,
+            )
+            nxt = sample_rows(logits, temp, topk, topp, seed, gidx)
+            nxt = jnp.where(active, nxt, self.cfg.lm.pad_token_id)
+            gidx = gidx + active.astype(gidx.dtype)
+            budget = budget - active.astype(budget.dtype)
+            hit_eos = jnp.any(nxt[:, None] == eos[None, :], axis=-1)
+            active = active & ~hit_eos & (budget > 0)
+            tok = jnp.where(active | hit_eos, nxt, tok)
+            return (cache, tok, active, budget, gidx), nxt
+
+        (cache, tok, active, budget, gidx), toks = jax.lax.scan(
+            body, (cache, tok, active, budget, gidx), None, length=self.chunk_tokens
+        )
+        return cache, tok, active, budget, gidx, toks.T  # [slots, chunk]
 
     def _decode_chunk_spec(self, params, cache, tok, active, budget, hist, hist_len):
         """Speculative lockstep chunk: each scan iteration is ONE K-token
@@ -352,6 +424,12 @@ class DecodeEngine:
     # -- host-side engine ---------------------------------------------------
 
     def submit(self, req: Request):
+        if self.spec_window >= 2 and req.temperature > 0.0:
+            raise ValueError(
+                "sampled requests (temperature > 0) are incompatible with a "
+                "speculative engine (spec_window >= 2): prompt-lookup "
+                "speculation is exact-greedy only"
+            )
         req.submit_t = _time.perf_counter()
         self._queue.append(req)
 
@@ -496,7 +574,7 @@ class DecodeEngine:
                         self._rep(req.attn_mask[:, :p]),
                     )
                     self.prefix_prefills += 1
-                first, cache1 = self._extend_suffix(req, self._prefixes[req.prefix_key])
+                first, logits, cache1 = self._extend_suffix(req, self._prefixes[req.prefix_key])
             else:
                 mask = np.asarray(req.attn_mask)
                 n = int(mask.sum())
@@ -505,10 +583,10 @@ class DecodeEngine:
                 if 0 < self.prefill_chunk < n and bool(mask[0, :n].all()):
                     self._start_pending(req, None, n)
                     return
-                first, cache1 = self._jprefill(
+                first, logits, cache1 = self._jprefill(
                     self.params, self._rep(req.embeds), self._rep(req.attn_mask), L
                 )
-            self._finish_admission(req, int(first[0]), cache1)
+            self._finish_admission(req, self._first_token(req, first, logits), cache1)
 
     def _advance_pending(self):
         """Advance the in-flight chunked prefill by one chunk.  The RAGGED
@@ -522,7 +600,7 @@ class DecodeEngine:
         seg = p.embeds[:, p.pos : p.pos + k]
         if k < C:
             seg = jnp.pad(seg, ((0, 0), (0, C - k), (0, 0)))
-        p.first, p.cache1 = self._jextend(
+        p.first, p.first_logits, p.cache1 = self._jextend(
             self.params, self._rep(seg), self._rep(jnp.asarray([k], jnp.int32)), p.cache1
         )
         p.pos += k
@@ -533,10 +611,32 @@ class DecodeEngine:
         if p.key is not None:
             self._prefixes[p.key] = p.cache1
             self.prefix_prefills += 1
-            first, cache1 = self._extend_suffix(p.req, p.cache1)
-            self._finish_admission(p.req, int(first[0]), cache1)
+            first, logits, cache1 = self._extend_suffix(p.req, p.cache1)
+            self._finish_admission(
+                p.req, self._first_token(p.req, first, logits), cache1
+            )
         else:
-            self._finish_admission(p.req, int(p.first[0]), p.cache1)
+            self._finish_admission(
+                p.req, self._first_token(p.req, p.first, p.first_logits), p.cache1
+            )
+
+    def _first_token(self, req: Request, greedy_tok, logits) -> int:
+        """First generated token from the prefill logits: greedy requests use
+        the in-graph argmax; sampled requests draw index 0 of their
+        counter-mode stream through the SAME sample_rows math the decode
+        chunk uses, so the whole stream is one consistent key schedule."""
+        if req.temperature <= 0.0:
+            return int(greedy_tok[0])
+        one = lambda v, dt: self._rep(jnp.asarray([v], dt))
+        t = self._jsample_first(
+            logits,
+            one(req.temperature, jnp.float32),
+            one(req.top_k, jnp.int32),
+            one(req.top_p, jnp.float32),
+            one(req.seed, jnp.int32),
+            one(0, jnp.int32),
+        )
+        return int(t[0])
 
     def _finish_admission(self, req: Request, first_i: int, cache1: Dict):
         slot = self._free_slot()
@@ -562,6 +662,11 @@ class DecodeEngine:
         self._budget[slot] = budget
         self._last_tok = self._last_tok.at[slot].set(first_i)
         self._active = self._active.at[slot].set(True)
+        self._temp = self._temp.at[slot].set(req.temperature)
+        self._topk = self._topk.at[slot].set(req.top_k)
+        self._topp = self._topp.at[slot].set(req.top_p)
+        self._seed = self._seed.at[slot].set(req.seed)
+        self._genidx = self._genidx.at[slot].set(1)  # index 0 = first token
         if self.spec_window >= 2:
             ids = req.prompt_ids
             row = jnp.zeros((self._hist_cap,), jnp.int32)
@@ -667,10 +772,20 @@ class DecodeEngine:
                 continue
             budget_before = self._budget.copy()
             t0 = _time.perf_counter()
-            self.cache, self._last_tok, self._active, budget, toks = self._jchunk(
-                self.params, self.cache, self._last_tok, self._active,
-                jnp.asarray(self._budget),
-            )
+            if any(r is not None and r.temperature > 0.0 for r in self._requests):
+                (
+                    self.cache, self._last_tok, self._active, budget,
+                    self._genidx, toks,
+                ) = self._jchunk_sampled(
+                    self.params, self.cache, self._last_tok, self._active,
+                    jnp.asarray(self._budget), self._temp, self._topk,
+                    self._topp, self._seed, self._genidx,
+                )
+            else:
+                self.cache, self._last_tok, self._active, budget, toks = self._jchunk(
+                    self.params, self.cache, self._last_tok, self._active,
+                    jnp.asarray(self._budget),
+                )
             self._budget = np.array(budget)
             self.steps += 1
             self._harvest(np.asarray(toks), budget_before)

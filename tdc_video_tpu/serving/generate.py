@@ -73,6 +73,52 @@ def sample_logits(
     return jax.random.categorical(key, x, axis=-1).astype(jnp.int32)
 
 
+def sample_rows(
+    logits: jnp.ndarray,  # [S, V]
+    temperature: jnp.ndarray,  # [S] f32; <= 0 rows take the plain argmax
+    top_k: jnp.ndarray,  # [S] i32; <= 0 disables the filter
+    top_p: jnp.ndarray,  # [S] f32; >= 1 disables the filter
+    seed: jnp.ndarray,  # [S] i32 per-request sampling seed
+    idx: jnp.ndarray,  # [S] i32 per-request token index (0 = first token)
+) -> jnp.ndarray:
+    """Per-row HF-warper-order sampling (temperature -> top-k -> top-p ->
+    categorical) for a batch of independent requests, used by the
+    continuous-batching engine (serving/batching.py).
+
+    PRNG is counter-mode: row r draws with key
+    fold_in(fold_in(PRNGKey(0), seed[r]), idx[r]), so a request's sampled
+    stream is a pure function of (its seed, its token index) — independent of
+    which engine slot it lands in and of what else is in the batch.  Rows
+    with temperature <= 0 return exactly the greedy chunk's argmax, so mixed
+    greedy/sampled batches stay token-identical for the greedy rows."""
+    V = logits.shape[-1]
+    x = logits.astype(jnp.float32)
+    greedy = jnp.argmax(x, axis=-1).astype(jnp.int32)
+    xt = x / jnp.maximum(temperature, 1e-6)[:, None]
+    # top-k: threshold at the k-th largest logit (ties at the cut survive,
+    # matching top_k_filter / HF TopKLogitsWarper); k <= 0 -> keep all
+    k = jnp.where(top_k > 0, jnp.minimum(top_k, V), V)
+    kth = jnp.take_along_axis(
+        jnp.sort(xt, axis=-1)[:, ::-1], (k - 1)[:, None], axis=-1
+    )
+    xt = jnp.where(xt < kth, -jnp.inf, xt)
+    # top-p over the k-filtered distribution (the HF warper order); same
+    # shift-right keep rule as top_p_filter, vectorized over per-row p
+    s = jnp.sort(xt, axis=-1)[:, ::-1]
+    probs = jax.nn.softmax(s, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = (cum - probs) < jnp.maximum(top_p, 1e-9)[:, None]
+    pth = jnp.min(jnp.where(keep, s, jnp.inf), axis=-1, keepdims=True)
+    xt = jnp.where(xt < pth, -jnp.inf, xt)
+
+    def one(row, sd, ix):
+        key = jax.random.fold_in(jax.random.fold_in(jax.random.PRNGKey(0), sd), ix)
+        return jax.random.categorical(key, row)
+
+    sampled = jax.vmap(one)(xt, seed, idx).astype(jnp.int32)
+    return jnp.where(temperature > 0.0, sampled, greedy)
+
+
 def decode_loop(
     cfg: TDCConfig,
     params: Params,

@@ -747,3 +747,148 @@ class TestEngineRobustness:
         for r in returned:
             assert r.done
             assert len(r.tokens) <= r.max_new_tokens
+
+
+class TestSampledEngine:
+    """Per-request sampling (Request.temperature/top_k/top_p/seed) — the
+    reference demo's do_sample path (/root/reference/main.py:64-65) through
+    the continuous-batching engine.  Counter-mode PRNG keys make a sampled
+    stream a pure function of (seed, token index), which is what these
+    identity tests pin down."""
+
+    def _sampled(self, cfg, params, ids, max_new, **kw):
+        r = _req(cfg, params, ids, max_new)
+        for k, v in kw.items():
+            setattr(r, k, v)
+        return r
+
+    def _run_uid(self, eng, reqs):
+        for r in reqs:
+            eng.submit(r)
+        return {r.uid: list(r.tokens) for r in eng.run()}
+
+    def test_greedy_rows_token_identical_in_mixed_batch(self, setup):
+        cfg, params = setup
+        rng = np.random.default_rng(7)
+        ids_g1 = rng.integers(2, 90, 6)
+        ids_g2 = rng.integers(2, 90, 9)
+        ids_s = rng.integers(2, 90, 5)
+
+        eng_g = DecodeEngine(cfg, params, num_slots=3, capacity=64, chunk_tokens=4)
+        base = self._run_uid(
+            eng_g,
+            [_req(cfg, params, ids_g1, 10), _req(cfg, params, ids_g2, 10)],
+        )
+
+        eng_m = DecodeEngine(cfg, params, num_slots=3, capacity=64, chunk_tokens=4)
+        sreq = self._sampled(
+            cfg, params, ids_s, 10, temperature=1.0, top_k=50, seed=3, uid="s"
+        )
+        mixed = self._run_uid(
+            eng_m,
+            [_req(cfg, params, ids_g1, 10), sreq, _req(cfg, params, ids_g2, 10)],
+        )
+        # greedy rows ride the sampled chunk's argmax path: identical output
+        assert mixed[tuple(np.asarray(ids_g1, np.int32))] == base[tuple(np.asarray(ids_g1, np.int32))]
+        assert mixed[tuple(np.asarray(ids_g2, np.int32))] == base[tuple(np.asarray(ids_g2, np.int32))]
+        assert len(mixed["s"]) >= 1
+
+    def test_seed_reproducible_and_slot_independent(self, setup):
+        cfg, params = setup
+        rng = np.random.default_rng(11)
+        ids_s = rng.integers(2, 90, 8)
+        mk = lambda: self._sampled(
+            cfg, params, ids_s, 12, temperature=0.9, top_k=0, top_p=0.95,
+            seed=42, uid="s",
+        )
+
+        solo = self._run_uid(
+            DecodeEngine(cfg, params, num_slots=1, capacity=64, chunk_tokens=4),
+            [mk()],
+        )["s"]
+        # same request mixed into a busy 4-slot engine, admitted after two
+        # greedy requests (different slot, different batchmates)
+        others = [
+            _req(cfg, params, rng.integers(2, 90, 7), 12),
+            _req(cfg, params, rng.integers(2, 90, 10), 12),
+        ]
+        mixed = self._run_uid(
+            DecodeEngine(cfg, params, num_slots=4, capacity=64, chunk_tokens=4),
+            others + [mk()],
+        )["s"]
+        assert mixed == solo
+        # and reruns with the same seed agree; a different seed diverges
+        again = self._run_uid(
+            DecodeEngine(cfg, params, num_slots=1, capacity=64, chunk_tokens=4),
+            [mk()],
+        )["s"]
+        assert again == solo
+        other_seed = mk()
+        other_seed.seed = 43
+        diverged = self._run_uid(
+            DecodeEngine(cfg, params, num_slots=1, capacity=64, chunk_tokens=4),
+            [other_seed],
+        )["s"]
+        assert diverged != solo
+
+    def test_top_k1_equals_greedy(self, setup):
+        cfg, params = setup
+        rng = np.random.default_rng(13)
+        ids = rng.integers(2, 90, 7)
+        greedy = _solo(cfg, params, ids, 12)
+        out = self._run_uid(
+            DecodeEngine(cfg, params, num_slots=2, capacity=64, chunk_tokens=4),
+            [self._sampled(cfg, params, ids, 12, temperature=0.7, top_k=1, uid="s")],
+        )["s"]
+        assert out == greedy
+
+    def test_sampled_chunked_admission_reproducible(self, setup):
+        # sampled first token drawn from chunked-prefill logits: the request
+        # completes and two identical runs agree token-for-token
+        cfg, params = setup
+        rng = np.random.default_rng(17)
+        ids = rng.integers(2, 90, 13)
+        mk = lambda: self._sampled(
+            cfg, params, ids, 8, temperature=1.1, top_k=20, seed=5, uid="s"
+        )
+        runs = [
+            self._run_uid(
+                DecodeEngine(
+                    cfg, params, num_slots=2, capacity=64, chunk_tokens=4,
+                    prefill_chunk=4,
+                ),
+                [mk()],
+            )["s"]
+            for _ in range(2)
+        ]
+        assert runs[0] == runs[1] and len(runs[0]) >= 1
+
+    def test_spec_engine_rejects_sampling(self, setup):
+        cfg, params = setup
+        eng = DecodeEngine(
+            cfg, params, num_slots=2, capacity=64, chunk_tokens=4, spec_window=4
+        )
+        req = self._sampled(
+            cfg, params, [5, 6, 7], 8, temperature=0.5, uid="s",
+            prompt_ids=np.asarray([5, 6, 7], np.int32),
+        )
+        with pytest.raises(ValueError, match="exact-greedy"):
+            eng.submit(req)
+
+    def test_reset_clears_sampling_state(self, setup):
+        cfg, params = setup
+        rng = np.random.default_rng(19)
+        ids = rng.integers(2, 90, 6)
+        eng = DecodeEngine(cfg, params, num_slots=2, capacity=64, chunk_tokens=4)
+        self._run_uid(
+            eng,
+            [self._sampled(cfg, params, ids, 8, temperature=1.3, seed=9, uid="s")],
+        )
+        eng.reset()
+        # after reset the same greedy request matches a fresh engine
+        a = self._run_uid(eng, [_req(cfg, params, ids, 8)])
+        b = self._run_uid(
+            DecodeEngine(cfg, params, num_slots=2, capacity=64, chunk_tokens=4),
+            [_req(cfg, params, ids, 8)],
+        )
+        assert a == b
