@@ -47,6 +47,20 @@ def main(argv=None):
         "per-slot drafting — exact same tokens; see serving/speculative.py)",
     )
     ap.add_argument(
+        "--temperature", type=float, default=0.0,
+        help="per-request sampling (the reference demo's do_sample path, "
+        "main.py:64-65; HF warper order temperature -> top-k -> top-p). "
+        "0 = greedy. Sampled runs route to a plain-lockstep engine "
+        "(speculation is exact-greedy only)",
+    )
+    ap.add_argument("--top_k", type=int, default=50)
+    ap.add_argument("--top_p", type=float, default=1.0)
+    ap.add_argument(
+        "--seed", type=int, default=0,
+        help="sampling seed; question i draws from stream seed+i — "
+        "reproducible and independent of slot placement",
+    )
+    ap.add_argument(
         "--stream", action="store_true",
         help="print tokens as slots decode them (interleaved, prefixed by "
         "question index) instead of only the final answers",
@@ -171,6 +185,10 @@ def main(argv=None):
         kv_quant=args.kv_quant,
         prefill_chunk=args.prefill_chunk,
         on_tokens=on_tokens,
+        temperature=args.temperature,
+        top_k=args.top_k,
+        top_p=args.top_p,
+        seed=args.seed,
     )
     dt = time.time() - t1
     if args.stream:
