@@ -32,7 +32,7 @@ import optax
 
 from ..config import TDCConfig
 from ..model import tdc_loss
-from ..parallel.mesh import auto_mesh_shape, make_mesh
+from ..parallel.mesh import auto_mesh_shape, make_mesh, warmup_collectives
 from ..parallel.sharding import batch_spec, shard_tree, tdc_param_spec, to_named
 from . import lora as lora_lib
 
@@ -230,6 +230,10 @@ class Trainer:
             mesh = make_mesh(n_data, n_model)
         self.mesh = mesh
         self.n_data = mesh.devices.shape[0]
+        # multi-process: rendezvous every mesh clique now, serially, before
+        # the train-step compile (NCCL-eager-connect analog; see
+        # parallel.mesh.warmup_collectives for the deadlock this prevents)
+        warmup_collectives(mesh)
 
         self.lora = None
         if tcfg.lora_enable:
