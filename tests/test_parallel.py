@@ -455,3 +455,18 @@ class TestMeshPredictor:
         # the per-frame tower features were computed frame-sharded
         _, (ff, _, _, _) = mp._feat_cache
         assert len(ff.sharding.device_set) == 8
+
+
+class TestWarmupCollectives:
+    def test_single_process_noop(self):
+        """warmup_collectives must be free in single-process runs (tests,
+        dryrun, single-host serving): no compiles, no arrays, immediate
+        return.  The multi-process behavior (serial clique rendezvous) is
+        exercised for real by tests/test_multiprocess.py via
+        Trainer.__init__."""
+        from tdc_video_tpu.parallel.mesh import warmup_collectives
+
+        mesh = make_mesh(4, 2)
+        n_before = len(jax.live_arrays())
+        warmup_collectives(mesh)  # process_count()==1 here
+        assert len(jax.live_arrays()) == n_before
