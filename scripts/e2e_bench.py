@@ -72,15 +72,9 @@ def main():
     shapes["lm"] = jax.eval_shape(quantize_lm_int8, shapes["lm"])
     params = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
     if mesh is not None:
-        from tdc_video_tpu.parallel.sharding import (
-            lm_param_spec, replicated_spec, shard_tree,
-        )
+        from tdc_video_tpu.parallel.sharding import shard_tree, tdc_param_spec
 
-        spec = {
-            k: (lm_param_spec(v) if k == "lm" else replicated_spec(v))
-            for k, v in params.items()
-        }
-        params = shard_tree(params, spec, mesh)
+        params = shard_tree(params, tdc_param_spec(params), mesh)
 
     enc = StreamingEncoder(cfg, params, chunk_frames=32, max_frames=max_frames, mesh=mesh)
 

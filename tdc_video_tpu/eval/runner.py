@@ -114,17 +114,9 @@ class TDCPredictor:
         self.cfg = cfg
         self.mesh = mesh
         if mesh is not None:
-            from ..parallel.sharding import (
-                lm_param_spec,
-                replicated_spec,
-                shard_tree,
-            )
+            from ..parallel.sharding import shard_tree, tdc_param_spec
 
-            spec = {
-                k: (lm_param_spec(v) if k == "lm" else replicated_spec(v))
-                for k, v in params.items()
-            }
-            params = shard_tree(params, spec, mesh)
+            params = shard_tree(params, tdc_param_spec(params), mesh)
         self.params = params
         self.tok = tokenizer if isinstance(tokenizer, HFTokenizerAdapter) else HFTokenizerAdapter(tokenizer)
         self.bert_tok = bert_tokenizer
@@ -223,6 +215,13 @@ class TDCPredictor:
         if cache_key is not None and self._feat_cache[0] == cache_key:
             return self._feat_cache[1]
         T = frame_bucket(len(frames))
+        if self.mesh is not None:
+            # frames shard over `data` (`_frame_shardings`); jit rejects
+            # uneven in_shardings, so round the bucket up to a multiple of
+            # the axis (pad frames are masked out downstream by fmask) —
+            # keeps e.g. bucket 8 on a data=16 mesh from crashing at encode
+            d = int(self.mesh.shape["data"])
+            T = -(-T // d) * d
         if self.device_preprocess:
             from ..data.images import device_preprocess as dp
 
@@ -597,7 +596,16 @@ class TDCPredictor:
                 on_tokens=on_tokens,
             )
             self._engine_cache[ekey] = eng
+            # each engine pins a num_slots x capacity KV cache in HBM, so an
+            # unbounded cache converges on OOM over a long eval with varying
+            # prompt lengths: keep the 2 most-recently-used compile shapes and
+            # free the rest (dropping the last ref releases the device buffers)
+            while len(self._engine_cache) > 2:
+                self._engine_cache.pop(next(iter(self._engine_cache)))
         else:
+            # LRU touch: re-insert at the end of the (ordered) dict
+            self._engine_cache.pop(ekey)
+            self._engine_cache[ekey] = eng
             eng.reset(on_tokens=on_tokens)
         for i, (embeds, amask, pids) in enumerate(prefixes):
             eng.submit(Request(
@@ -612,6 +620,18 @@ class TDCPredictor:
                 done = eng.run()
         else:
             done = eng.run()
+        if eng.on_tokens_errors:
+            # the engine isolates streaming-callback exceptions so decoding
+            # finishes (batching.py:460); surface them here so a broken
+            # stream consumer is not silently reported as a clean run
+            import warnings
+
+            warnings.warn(
+                f"{len(eng.on_tokens_errors)} on_tokens callback error(s) "
+                f"during answer_many; first: {eng.on_tokens_errors[0]!r}",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         by_uid = {r.uid: r for r in done}
         return [
             self.tok.decode(_trim_generated(by_uid[i].tokens, cfg.lm)).strip()

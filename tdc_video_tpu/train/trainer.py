@@ -448,12 +448,15 @@ class Trainer:
         mgr.save(self.step, args=ocp.args.StandardSave(state))
         if wait:
             mgr.wait_until_finished()
-        if self.tcfg.tune_mm_mlp_adapter:
+        if self.tcfg.tune_mm_mlp_adapter and jax.process_index() == 0:
             # adapter-only artifact alongside the full state
             # (reference mm_projector.bin flavor, mm_trainer.py:487-513).
             # Same async pattern as the Orbax save: snapshot the (small)
             # adapter subtree to host synchronously, write on a background
             # thread so wait=False saves never block the loop on disk I/O.
+            # Rank-gated: the adapter subtree is replicated (host-local
+            # fetch), and concurrent same-path writers on a shared
+            # filesystem would interleave into a corrupt artifact.
             import os
 
             from ..convert.to_hf import export_mm_adapter, save_mm_adapter

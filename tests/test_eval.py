@@ -386,6 +386,46 @@ class TestAnswerMany:
         # same engine (identical answers would make reuse vacuous)
         assert vids[0].tobytes() != vids[1].tobytes()
 
+    def test_engine_cache_is_bounded_lru(self, tmp_path):
+        """Each cached engine pins a num_slots x capacity KV cache in HBM,
+        so the cache must stay bounded (2 most-recently-used compile shapes)
+        and evict oldest-first — an unbounded cache converges on OOM over a
+        long eval with varying prompt/slot shapes."""
+        import numpy as np
+
+        from tdc_video_tpu.builder import load_pretrained_model
+        from tdc_video_tpu.eval.runner import TDCPredictor
+        from tdc_video_tpu.config import tdc_tiny
+        from test_builder import write_checkpoint
+
+        ckpt = str(tmp_path / "ckpt")
+        write_checkpoint(ckpt, tdc_tiny(), audio=False)
+        _, model, _, _ = load_pretrained_model(ckpt, load_tokenizer=False)
+
+        rng = np.random.default_rng(3)
+        v = rng.integers(0, 255, (5, 48, 64, 3)).astype(np.uint8)
+        questions = ["How many objects?", "What color dominates?"]
+
+        p = TDCPredictor(model.cfg, model.params, SimpleTokenizer(),
+                         max_new_tokens=4, text_bucket=128)
+        # three distinct compile shapes: (2 slots, bf16), (2 slots, int8 KV),
+        # (1 slot, bf16) — each would be a new engine
+        p.answer_many(v, questions, video_uid="v", num_slots=2)
+        key_a = next(iter(p._engine_cache))
+        p.answer_many(v, questions, video_uid="v", num_slots=2,
+                      kv_quant="int8")
+        p.answer_many(v, questions[:1], video_uid="v", num_slots=1)
+        assert len(p._engine_cache) == 2
+        assert key_a not in p._engine_cache  # oldest evicted
+        # a hit refreshes recency: touch the int8 engine, add a new shape,
+        # and the 1-slot engine (now oldest) is the one evicted
+        p.answer_many(v, questions, video_uid="v", num_slots=2,
+                      kv_quant="int8")
+        keys = list(p._engine_cache)
+        p.answer_many(v, questions, video_uid="v", num_slots=2)
+        assert keys[-1] in p._engine_cache  # the touched int8 engine survives
+        assert len(p._engine_cache) == 2
+
     def test_grouped_harness_batch_slots(self, tmp_path):
         """--batch_slots routes a grouped (Video-MME-style) video's questions
         through answer_many; records must match the per-question path,

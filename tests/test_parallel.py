@@ -456,6 +456,41 @@ class TestMeshPredictor:
         _, (ff, _, _, _) = mp._feat_cache
         assert len(ff.sharding.device_set) == 8
 
+    @pytest.mark.slow
+    def test_bucket_not_divisible_by_data_axis(self, tmp_path):
+        """A data axis that does not divide the frame bucket (3 devices,
+        bucket 8) must not crash jit with uneven in_shardings: encode_video
+        rounds the bucket up to a multiple of the axis (8 -> 9) and the pad
+        frame is masked out, so answers stay identical to single-device."""
+        import sys as _sys
+        import os as _os
+
+        _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+        from test_builder import write_checkpoint
+        from test_eval import SimpleTokenizer
+
+        from tdc_video_tpu.builder import load_pretrained_model
+        from tdc_video_tpu.eval.runner import TDCPredictor
+
+        ckpt = str(tmp_path / "ckpt")
+        write_checkpoint(ckpt, tdc_tiny(), audio=False)
+        _, model, _, _ = load_pretrained_model(ckpt, load_tokenizer=False)
+
+        rng = np.random.default_rng(7)
+        frames = rng.integers(0, 255, (5, 48, 64, 3)).astype(np.uint8)
+
+        plain = TDCPredictor(model.cfg, model.params, SimpleTokenizer(),
+                             max_new_tokens=4, text_bucket=128)
+        ref = plain.answer(frames, "What is shown?", video_uid="v")
+
+        mesh = make_mesh(3, 1)  # 3 does not divide any frame bucket
+        mp = TDCPredictor(model.cfg, model.params, SimpleTokenizer(),
+                          max_new_tokens=4, text_bucket=128, mesh=mesh)
+        assert mp.answer(frames, "What is shown?", video_uid="v") == ref
+        _, (ff, _, fmask, T) = mp._feat_cache
+        assert T % 3 == 0 and fmask.sum() == 5
+        assert len(ff.sharding.device_set) == 3
+
 
 class TestWarmupCollectives:
     def test_single_process_noop(self):
