@@ -49,7 +49,18 @@ def combine_state_dicts(primary, base, sign):
       the overlapping [:rows, :cols] slice, keep primary's extra rows intact
       (/root/reference/tdc/apply_delta.py "dimension mismatch" branch).
     * shapes differ anywhere else: ValueError — never silently copy.
+    * most keys missing from base: ValueError — the reference asserts an
+      explicit mm_projector allowlist (/root/reference/tdc/apply_delta.py);
+      a wrong/mismatched base would otherwise silently "reconstruct" a
+      checkpoint that is mostly raw delta weights.
     """
+    missing = [k for k in primary if k not in base]
+    if primary and len(missing) > len(primary) // 2:
+        raise ValueError(
+            f"{len(missing)}/{len(primary)} keys missing from base "
+            f"(e.g. {missing[:3]}): base checkpoint does not match — "
+            "combining would pass raw primary weights through"
+        )
     out = {}
     for k, v in primary.items():
         if k not in base:

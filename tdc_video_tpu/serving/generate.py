@@ -73,6 +73,38 @@ def sample_logits(
     return jax.random.categorical(key, x, axis=-1).astype(jnp.int32)
 
 
+def filter_rows(
+    x: jnp.ndarray,  # [S, V] f32 logits
+    temperature: jnp.ndarray,  # [S] f32
+    top_k: jnp.ndarray,  # [S] i32; <= 0 disables the filter
+    top_p: jnp.ndarray,  # [S] f32; >= 1 disables the filter
+) -> jnp.ndarray:
+    """Per-row temperature scale -> top-k -> top-p warping (HF order) for a
+    batch of independent requests; returns the filtered logits sample_rows
+    draws from."""
+    V = x.shape[-1]
+    xt = x / jnp.maximum(temperature, 1e-6)[:, None]
+    # top-k: threshold at the k-th largest logit (ties at the cut survive,
+    # matching top_k_filter / HF TopKLogitsWarper); k <= 0 -> keep all
+    k = jnp.where(top_k > 0, jnp.minimum(top_k, V), V)
+    kth = jnp.take_along_axis(
+        jnp.sort(xt, axis=-1)[:, ::-1], (k - 1)[:, None], axis=-1
+    )
+    xt = jnp.where(xt < kth, -jnp.inf, xt)
+    # top-p over the k-filtered distribution (the HF warper order); same
+    # shift-right keep rule as top_p_filter, vectorized over per-row p
+    s = jnp.sort(xt, axis=-1)[:, ::-1]
+    probs = jax.nn.softmax(s, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = (cum - probs) < jnp.maximum(top_p, 1e-9)[:, None]
+    pth = jnp.min(jnp.where(keep, s, jnp.inf), axis=-1, keepdims=True)
+    # top_p >= 1 disables the filter EXACTLY (HF skips the TopP warper at
+    # 1.0): without this, f32 cumsum can saturate to 1.0 before the tail and
+    # -inf genuine tail tokens
+    pth = jnp.where(top_p[:, None] >= 1.0, -jnp.inf, pth)
+    return jnp.where(xt < pth, -jnp.inf, xt)
+
+
 def sample_rows(
     logits: jnp.ndarray,  # [S, V]
     temperature: jnp.ndarray,  # [S] f32; <= 0 rows take the plain argmax
@@ -91,25 +123,9 @@ def sample_rows(
     which engine slot it lands in and of what else is in the batch.  Rows
     with temperature <= 0 return exactly the greedy chunk's argmax, so mixed
     greedy/sampled batches stay token-identical for the greedy rows."""
-    V = logits.shape[-1]
     x = logits.astype(jnp.float32)
     greedy = jnp.argmax(x, axis=-1).astype(jnp.int32)
-    xt = x / jnp.maximum(temperature, 1e-6)[:, None]
-    # top-k: threshold at the k-th largest logit (ties at the cut survive,
-    # matching top_k_filter / HF TopKLogitsWarper); k <= 0 -> keep all
-    k = jnp.where(top_k > 0, jnp.minimum(top_k, V), V)
-    kth = jnp.take_along_axis(
-        jnp.sort(xt, axis=-1)[:, ::-1], (k - 1)[:, None], axis=-1
-    )
-    xt = jnp.where(xt < kth, -jnp.inf, xt)
-    # top-p over the k-filtered distribution (the HF warper order); same
-    # shift-right keep rule as top_p_filter, vectorized over per-row p
-    s = jnp.sort(xt, axis=-1)[:, ::-1]
-    probs = jax.nn.softmax(s, axis=-1)
-    cum = jnp.cumsum(probs, axis=-1)
-    keep = (cum - probs) < jnp.maximum(top_p, 1e-9)[:, None]
-    pth = jnp.min(jnp.where(keep, s, jnp.inf), axis=-1, keepdims=True)
-    xt = jnp.where(xt < pth, -jnp.inf, xt)
+    xt = filter_rows(x, temperature, top_k, top_p)
 
     def one(row, sd, ix):
         key = jax.random.fold_in(jax.random.fold_in(jax.random.PRNGKey(0), sd), ix)

@@ -473,8 +473,17 @@ class Trainer:
 
                 self._join_adapter_write()
                 host = export_mm_adapter(self.params)  # device->host fetch
+
+                def _atomic_write(sd=host, dst=path):
+                    # temp + os.replace: a crash between a wait=False save
+                    # and the next join would otherwise kill the daemon
+                    # thread mid-write and leave a truncated artifact
+                    tmp = dst + ".tmp"
+                    save_safetensors(sd, tmp)
+                    os.replace(tmp, dst)
+
                 self._adapter_thread = threading.Thread(
-                    target=save_safetensors, args=(host, path), daemon=True
+                    target=_atomic_write, daemon=True
                 )
                 self._adapter_thread.start()
 

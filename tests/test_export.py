@@ -209,3 +209,23 @@ def test_beats_export_roundtrip():
     sd = export_beats(params, "model.audio_encoder.beats.")
     back = convert_beats(sd, BEATS_TINY, prefix="model.audio_encoder.beats.")
     _tree_equal(params, back, rtol=1e-5)
+
+
+def test_delta_wrong_base_raises():
+    """Applying a delta against a mismatched base (most keys missing) must
+    fail loudly instead of passing raw delta weights through (the reference
+    asserts an explicit allowlist, tdc/apply_delta.py; ADVICE r4)."""
+    import pytest
+
+    from tdc_video_tpu.cli.model_ops import combine_state_dicts
+
+    delta = {f"model.layers.{i}.weight": np.ones((2, 2), np.float32) for i in range(4)}
+    wrong_base = {"different.naming.weight": np.ones((2, 2), np.float32)}
+    with pytest.raises(ValueError, match="missing from base"):
+        combine_state_dicts(delta, wrong_base, sign=+1)
+    # a genuinely-new minority of keys (mm_projector flavor) still passes
+    base = dict(delta)
+    extra = dict(delta)
+    extra["model.mm_projector.weight"] = np.ones((2, 2), np.float32)
+    out = combine_state_dicts(extra, base, sign=-1)
+    assert "model.mm_projector.weight" in out

@@ -80,3 +80,32 @@ def test_sampled_decode_fixed_key_deterministic():
     b = generate_text_only(cfg, params, ids, mask, key=jax.random.PRNGKey(7), **kw)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert ((np.asarray(a) >= 0) & (np.asarray(a) < cfg.lm.vocab_size)).all()
+
+
+def test_filter_rows_top_p_one_is_no_op():
+    """top_p >= 1 must disable nucleus filtering EXACTLY (HF skips the TopP
+    warper at 1.0): a near-one-hot row saturates the f32 cumsum to 1.0
+    before the tail, which used to -inf genuine tail tokens (ADVICE r4)."""
+    from tdc_video_tpu.serving.generate import filter_rows
+
+    # p0 ~ 1 - 7e-9: cumsum hits exactly 1.0 in f32 at index 0
+    logits = jnp.asarray([[20.0] + [0.0] * 7], jnp.float32)
+    out = np.asarray(
+        filter_rows(
+            logits,
+            jnp.asarray([1.0], jnp.float32),
+            jnp.asarray([0], jnp.int32),
+            jnp.asarray([1.0], jnp.float32),
+        )
+    )
+    assert np.isfinite(out).all()  # nothing masked at top_p=1.0
+    # and top_p < 1 still filters
+    out2 = np.asarray(
+        filter_rows(
+            logits,
+            jnp.asarray([1.0], jnp.float32),
+            jnp.asarray([0], jnp.int32),
+            jnp.asarray([0.9], jnp.float32),
+        )
+    )
+    assert np.isfinite(out2[0, 0]) and not np.isfinite(out2[0, 1:]).any()
