@@ -320,6 +320,68 @@ def load_avsd(data_path: str) -> List[dict]:
     return out
 
 
+def _norm_question(line: dict, q: dict) -> dict:
+    """Normalize one question of a grouped sample into the flat per-question
+    schema (prompt/answer/letters/task_type).  Video-MME loader questions
+    carry raw `choices` and inherit their task_type from the group's duration
+    bucket (eval_videomme.py:241-260); flat-style dicts pass through."""
+    if "prompt" in q:
+        return q
+    opt = "".join(f"{o}\n" for o in q.get("choices") or [])
+    prompt = (
+        f"Question: {q['question']}\nOptions:\n{opt}"
+        "Respond with only the letter (A, B, C, or D) of the correct option.\n"
+    ).rstrip()
+    return {
+        "question": q["question"],
+        "prompt": prompt,
+        "answer": q.get("answer", ""),
+        "task_type": line.get("duration", "videomme"),
+    }
+
+
+def group_by_video(samples: List[dict]) -> List[dict]:
+    """Group flat per-question samples sharing one video (and bound / frame-dir
+    / audio identity) so the harness decodes + encodes each video ONCE and can
+    route all of its questions through one continuous-batching engine call
+    (runner.answer_many shared-prefix admission).
+
+    The reference harnesses re-read and re-encode the video per question
+    (eval_mlvu.py:151-238 loops one row at a time); grouping is the
+    throughput upgrade the engine already measured (PERF.md shared-prefix
+    rows).  Samples that already carry a `questions` list (Video-MME parquet
+    groups) pass through with their questions normalized.  Per-question
+    record/WAL semantics are unchanged: each question keeps its own flat
+    dict inside the group's `questions`."""
+    groups: Dict[tuple, dict] = {}
+    order: List[dict] = []
+    for s in samples:
+        if "questions" in s:
+            g = dict(s)
+            g["questions"] = [_norm_question(s, q) for q in s["questions"]]
+            order.append(g)
+            continue
+        key = (
+            s["video"],
+            s.get("data_type"),
+            tuple(s["bound"]) if s.get("bound") else None,
+            s.get("audio"),
+            s.get("subtitle"),
+        )
+        g = groups.get(key)
+        if g is None:
+            g = {
+                k: s[k]
+                for k in ("video", "video_name", "data_type", "bound", "audio", "subtitle")
+                if k in s
+            }
+            g["questions"] = []
+            groups[key] = g
+            order.append(g)
+        g["questions"].append(s)
+    return order
+
+
 LOADERS = {
     "mlvu": load_mlvu,
     "videomme": load_videomme,

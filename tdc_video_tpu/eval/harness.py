@@ -22,7 +22,7 @@ from typing import List, Optional
 
 import numpy as np
 
-from .datasets import LOADERS, parse_srt, subtitles_for_frames
+from .datasets import LOADERS, group_by_video, parse_srt, subtitles_for_frames
 from .runner import (
     TDCPredictor,
     accuracy_by_task,
@@ -48,6 +48,28 @@ def load_frame_dir(path: str, bound=None, sample_fps: float = 1.0) -> np.ndarray
     return np.stack([np.asarray(Image.open(f).convert("RGB")) for f in files])
 
 
+def _build_record(line: dict, q: dict, pred: str) -> dict:
+    """One per-question result record — shared by the grouped (answer_many)
+    and one-at-a-time paths so both emit byte-identical rows."""
+    letters = q.get("letters", ["A", "B", "C", "D"])
+    rec = {
+        "video_name": line["video_name"],
+        "question": q["question"],
+        "answer": q.get("answer", ""),
+        "task_type": q.get("task_type", "all"),
+        "raw": pred,
+    }
+    if q.get("free_form", False):
+        rec["pred"] = pred.strip().rstrip(".").lower()
+        rec["answer"] = str(q.get("answer", "")).lower()
+    else:
+        rec["pred"] = extract_letter(pred, letters)
+    if "question_uid" in q:
+        rec["question_uid"] = q["question_uid"]
+        rec["pred_idx"] = letters.index(rec["pred"])
+    return rec
+
+
 def run_benchmark(
     name: str,
     predictor: TDCPredictor,
@@ -58,6 +80,12 @@ def run_benchmark(
     resume: bool = True,
     batch_slots: int = 0,
 ) -> dict:
+    # Every benchmark takes the grouped path: one video decode + encode per
+    # clip, and (with --batch_slots) all of a clip's questions decode through
+    # one continuous-batching engine call with shared-prefix admission.
+    # Sharding is per-video so the encode reuse stays on one host; `limit`
+    # counts videos.
+    samples = group_by_video(samples)
     samples = shard_samples(samples)
     if limit:
         samples = samples[:limit]
@@ -94,13 +122,12 @@ def run_benchmark(
 
     t_start = time.time()
     for i, line in enumerate(samples):
-        if "questions" in line:
-            if all((line["video_name"], q["question"]) in done for q in line["questions"]):
-                continue  # whole grouped video already answered
-        elif (line.get("video_name"), line.get("question")) in done:
-            continue
-        free_form = line.get("free_form", False)
-        letters = line.get("letters", ["A", "B", "C", "D"])
+        pend = [
+            q for q in line["questions"]
+            if (line["video_name"], q["question"]) not in done
+        ]
+        if not pend:
+            continue  # whole video already answered (crash resume)
 
         frames = None
         frame_seconds = None
@@ -130,17 +157,17 @@ def run_benchmark(
         if frames is None or len(frames) == 0:
             continue
 
-        prompt = line["prompt"]
-        # Video-MME subtitle conditioning (eval_videomme.py:204-240)
+        # shared per-video prompt prefix: subtitles (eval_videomme.py:204-240)
+        # + LVCoT (eval_mlvu.py:189-194), computed once per video
+        prefix = ""
         sub_path = line.get("subtitle")
         if sub_path and os.path.exists(sub_path):
             subs = parse_srt(sub_path)
-            prompt = subtitles_for_frames(subs, frame_seconds) + prompt
-
-        # LVCoT for long videos (eval_mlvu.py:189-194)
+            prefix = subtitles_for_frames(subs, frame_seconds)
         if use_lvcot and len(frames) >= 600:
             think = lvcot(predictor, frames, max_forward=2, video_uid=line["video_name"])
-            prompt = f"<think>{think}</think>" + prompt
+            prefix = f"<think>{think}</think>" + prefix
+        prefix += line.get("prompt", "")  # group-level prompt (rare)
 
         wav = None
         if line.get("audio") and os.path.exists(line["audio"]):
@@ -148,69 +175,40 @@ def run_benchmark(
 
             wav = load_audio(line["audio"])
 
-        if "questions" in line:  # grouped (videomme): many questions, one video
-            pend = [q for q in line["questions"]
-                    if (line["video_name"], q["question"]) not in done]
-
-            def _qprompt(q):
-                opt = "".join(f"{o}\n" for o in q["choices"])
-                qp = (
-                    f"Question: {q['question']}\nOptions:\n{opt}"
-                    "Respond with only the letter (A, B, C, or D) of the correct option.\n"
-                ).rstrip()
-                return (prompt + qp) if sub_path else qp
-
-            if batch_slots > 1 and len(pend) > 1:
-                # all of a video's questions decode in one continuous-batching
-                # lockstep loop (runner.answer_many; serving upgrade over the
-                # reference's per-question generate)
+        kw = dict(wav=wav, frame_seconds=frame_seconds, video_uid=line["video_name"])
+        preds = None
+        if batch_slots > 1 and len(pend) > 1:
+            # all of a video's questions decode in one continuous-batching
+            # lockstep loop with shared-prefix admission (runner.answer_many;
+            # serving upgrade over the reference's per-question generate)
+            try:
                 preds = predictor.answer_many(
-                    frames, [(_qprompt(q), q["question"]) for q in pend],
-                    wav=wav, frame_seconds=frame_seconds,
-                    video_uid=line["video_name"], num_slots=batch_slots,
+                    frames, [(prefix + q["prompt"], q["question"]) for q in pend],
+                    num_slots=batch_slots, **kw,
                 )
-            else:
-                preds = [
-                    predictor.answer(
-                        frames, _qprompt(q), qformer_prompt=q["question"],
-                        wav=wav, frame_seconds=frame_seconds,
-                        video_uid=line["video_name"],
-                    )
-                    for q in pend
-                ]
-            for q, pred in zip(pend, preds):
-                emit(
-                    {
-                        "video_name": line["video_name"],
-                        "question": q["question"],
-                        "answer": q.get("answer", ""),
-                        "pred": extract_letter(pred),
-                        "task_type": line.get("duration", "videomme"),
-                        "raw": pred,
-                    }
+            except Exception as e:  # fault isolation: a mid-group engine
+                # failure must not strand the video's questions or poison the
+                # engine for the next video (the cached engine resets on its
+                # next answer_many); fall back to the one-at-a-time path
+                import warnings
+
+                warnings.warn(
+                    f"[{name}] answer_many failed for {line['video_name']!r} "
+                    f"({e!r}); falling back to per-question decoding",
+                    RuntimeWarning,
                 )
+        if preds is None:
+            # one-at-a-time: emit each record AS it is produced, so a crash
+            # mid-group loses at most the in-flight answer (WAL resume
+            # granularity is per-question, not per-video)
+            for q in pend:
+                pred = predictor.answer(
+                    frames, prefix + q["prompt"], qformer_prompt=q["question"], **kw
+                )
+                emit(_build_record(line, q, pred))
         else:
-            pred = predictor.answer(
-                frames, prompt, qformer_prompt=line["question"],
-                wav=wav, frame_seconds=frame_seconds,
-                video_uid=line["video_name"],
-            )
-            rec = {
-                "video_name": line["video_name"],
-                "question": line["question"],
-                "answer": line["answer"],
-                "task_type": line["task_type"],
-                "raw": pred,
-            }
-            if free_form:
-                rec["pred"] = pred.strip().rstrip(".").lower()
-                rec["answer"] = str(line["answer"]).lower()
-            else:
-                rec["pred"] = extract_letter(pred, letters)
-            if "question_uid" in line:
-                rec["question_uid"] = line["question_uid"]
-                rec["pred_idx"] = letters.index(rec["pred"])
-            emit(rec)
+            for q, pred in zip(pend, preds):
+                emit(_build_record(line, q, pred))
         if i % 10 == 0:
             el = time.time() - t_start
             print(f"[{name}] {i + 1}/{len(samples)} ({el:.0f}s)", flush=True)
@@ -241,14 +239,41 @@ def run_benchmark(
     return metrics
 
 
-def build_predictor(args) -> TDCPredictor:
+def build_predictor(args, samples: Optional[List[dict]] = None) -> TDCPredictor:
     import jax.numpy as jnp
 
     from ..builder import load_pretrained_model
 
+    quantize = getattr(args, "quantize", None)
+    calib_pixels = None
+    n_calib = getattr(args, "calib_frames", 0)
+    if quantize == "int8-all" and n_calib > 0 and samples:
+        # static W8A8 activation-scale calibration on the benchmark's own
+        # first video (builder.load_pretrained_model calib_pixels): removes
+        # the dynamic per-token amax pass from every tower layer (PERF.md r3)
+        from ..builder import read_config
+        from ..data.images import process_frames
+        from ..media.io import decode_video
+
+        calib_cfg = read_config(args.model_path)
+        for line in samples:
+            if line.get("data_type") == "frame" or not os.path.exists(line.get("video", "")):
+                continue
+            try:
+                frames, _ = decode_video(line["video"], fps=1.0, max_frames=n_calib)
+            except IOError:
+                continue
+            if len(frames) == 0:
+                continue
+            sig, dino = process_frames(list(frames[:n_calib]), calib_cfg)
+            calib_pixels = (sig, dino)
+            print(f"[calib] activation scales from {line['video']} "
+                  f"({len(frames[:n_calib])} frames)", flush=True)
+            break
+
     tokenizer, model, _, _ = load_pretrained_model(
         args.model_path, args.model_base, args.model_name, dtype=jnp.bfloat16,
-        quantize=getattr(args, "quantize", None),
+        quantize=quantize, calib_pixels=calib_pixels,
     )
     bert_tok = None
     if args.bert_tokenizer:
@@ -263,6 +288,7 @@ def build_predictor(args) -> TDCPredictor:
         max_new_tokens=args.max_new_tokens,
         max_eval_frames=args.max_frames,
         device_preprocess=args.device_preprocess,
+        act_quant=(quantize == "int8-all"),
         spec_window=getattr(args, "spec_window", 0),
     )
 
@@ -297,8 +323,16 @@ def main(argv=None):
         "print decode/model wall-time split",
     )
     ap.add_argument(
-        "--quantize", default=None, choices=["int8"],
-        help="weight-only int8 LM for faster decode",
+        "--quantize", default=None, choices=["int8", "int8-all"],
+        help="int8: weight-only int8 LM for faster decode; int8-all: + "
+        "int8-compute towers (~2x bf16 encode throughput — eval is "
+        "tower-dominated; drift bounds in tests/test_quant.py)",
+    )
+    ap.add_argument(
+        "--calib_frames", type=int, default=8,
+        help="with --quantize int8-all: calibrate static per-layer tower "
+        "activation scales on this many frames of the benchmark's first "
+        "video (removes the dynamic per-token amax pass); 0 = dynamic scales",
     )
     ap.add_argument(
         "--batch_slots", type=int, default=0,
@@ -314,8 +348,8 @@ def main(argv=None):
     )
     args = ap.parse_args(argv)
 
-    predictor = build_predictor(args)
     samples = LOADERS[args.benchmark](args.data_path)
+    predictor = build_predictor(args, samples)
     import contextlib
 
     from ..utils.profiling import trace

@@ -237,7 +237,8 @@ class TestMultiProcessEval:
         r1 = read_rank_json(mp_workdir, 1, "mp")
         assert r0["process_count"] == 2 and r1["process_count"] == 2
         assert r0["local_devices"] == 4
-        # round-robin shard over 5 samples: 3 + 2
+        # the 5 questions group into 2 per-video groups (3 + 2 questions),
+        # round-robin sharded one group per rank
         assert sorted([r0["answered"], r1["answered"]]) == [2, 3]
         # every rank computes identical metrics from the allgathered records
         assert r0["metrics"] == solo_metrics
