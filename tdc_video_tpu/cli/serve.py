@@ -74,6 +74,19 @@ def main(argv=None):
         "single-chip serving (tests/test_parallel.py)",
     )
     ap.add_argument(
+        "--chat", action="store_true",
+        help="multi-turn mode: treat the questions as SEQUENTIAL turns of "
+        "one conversation — each follow-up extends the previous turn's "
+        "resident KV cache instead of re-encoding the video and "
+        "re-prefilling the conversation (serving/session.ChatSession; "
+        "capability upgrade over the reference's single-shot main.py:60)",
+    )
+    ap.add_argument(
+        "--chat_capacity", type=int, default=None,
+        help="with --chat: total conversation token budget (default: first "
+        "prompt bucket + 2048)",
+    )
+    ap.add_argument(
         "--prefill_chunk", type=int, default=0,
         help="chunked admission: prefill long prompts N tokens per decode "
         "chunk so new questions never stall in-flight answers for a whole "
@@ -155,8 +168,13 @@ def main(argv=None):
             text = tokenizer.decode(req.tokens, skip_special_tokens=True)
             # hold back trailing U+FFFD: a partial multi-byte character
             # decodes to the replacement char until the next token lands —
-            # emitting it now would print a char the stream later revises
-            text = text.rstrip("�")
+            # emitting it now would print a char the stream later revises.
+            # A split UTF-8 char yields at most 2 replacement chars, so hold
+            # back only that many: genuine U+FFFD tokens deeper in a trailing
+            # run still stream out
+            stripped = text.rstrip("�")
+            held = min(len(text) - len(stripped), 2)
+            text = text[: len(text) - held] if held else text
             prev = printed.get(req.uid, "")
             if text.startswith(prev):
                 delta = text[len(prev) :]
@@ -172,6 +190,25 @@ def main(argv=None):
                 state["last"] = req.uid
             sys.stdout.write(delta)
             sys.stdout.flush()
+
+    if args.chat:
+        t1 = time.time()
+        sess = predictor.chat(
+            frames, wav=wav, frame_seconds=ts, video_uid=args.video,
+            max_new_tokens=args.max_new_tokens, capacity=args.chat_capacity,
+            kv_quant=args.kv_quant, temperature=args.temperature,
+            top_k=args.top_k, top_p=args.top_p, seed=args.seed,
+            on_tokens=on_tokens,
+        )
+        for i, q in enumerate(questions):
+            ta = time.time()
+            a = sess.ask(q)
+            if args.stream:
+                print()
+            print(f"\n[turn {i + 1} | {time.time() - ta:.1f}s] Q: {q}\nA: {a}")
+        sess.close()
+        print(f"\n[{len(questions)}-turn conversation in {time.time() - t1:.1f}s]")
+        return
 
     t1 = time.time()
     answers = predictor.answer_many(

@@ -451,6 +451,80 @@ class TDCPredictor:
         self.stats.compile_keys.append(ck)
         return jfn
 
+    def pack_prompt(
+        self,
+        frames: np.ndarray,
+        question,  # str, or (prompt, qformer_prompt) pair
+        wav: Optional[np.ndarray] = None,
+        frame_seconds: Optional[np.ndarray] = None,
+        video_uid: Optional[str] = None,
+    ):
+        """Full multimodal prompt packing for ONE question: template + encode
+        (feature-cached per video) + compression + embed packing, bucketed to
+        a 128-multiple.  Returns (embeds [1, Lb, H], attn_mask [1, Lb],
+        prompt token ids) — the engine-admissible prefix answer_many and
+        ChatSession build requests from."""
+        from ..compress.aspect import frame_token_layout
+
+        cfg = self.cfg
+        qf = None
+        if isinstance(question, tuple):
+            question, qf = question
+        ids, img_pos, qtext = self.build_text(question, qf)
+        cap = min(budget.max_num_frames(cfg, ids, train=False), self.max_eval_frames)
+        f = frames
+        fsec = frame_seconds
+        if len(f) > cap:
+            idx = [int(len(f) / cap * i) for i in range(cap)]
+            f = f[idx]
+            if fsec is not None:
+                fsec = fsec[idx]
+        feat_key = None if video_uid is None else (video_uid, frames.shape, min(cap, len(frames)))
+        ff, df, fmask, T = self.encode_video(f, cache_key=feat_key)
+
+        L = self.text_bucket
+        while len(ids) > L:
+            L *= 2
+        padded = np.full((L,), cfg.lm.pad_token_id, np.int32)
+        padded[: len(ids)] = ids
+        qids, qmask = self._qformer_ids(qtext)
+        atok = None
+        if wav is not None and cfg.audio_input:
+            fs = fsec if fsec is not None else np.arange(len(f))
+            atok = self.encode_audio_tokens(wav, T, fs)
+        max_vis = min(
+            budget.max_visual_len(cfg, ids),
+            T * (budget.tokens_per_frame(cfg) + 4) + 256,
+        )
+        max_vis = int(np.ceil(max_vis / 128) * 128)
+        tv, qp = frame_token_layout(cfg, f.shape[1], f.shape[2])
+        jfn = self._prefix_fn((T, L, max_vis, atok is not None))
+        mm = jfn(
+            self.params,
+            jnp.asarray(padded)[None],
+            jnp.asarray([img_pos], jnp.int32),
+            ff[None],
+            df[None],
+            jnp.asarray(fmask)[None],
+            jnp.asarray(qids)[None],
+            jnp.asarray(qmask)[None],
+            jnp.asarray([len(ids)], jnp.int32),
+            jnp.asarray(tv)[None],
+            jnp.asarray(qp)[None],
+            None if atok is None else atok[None].astype(cfg.dtype),
+        )
+        Lb = int(np.ceil(max(int(mm["seq_len"][0]), 1) / 128) * 128)
+        return mm["embeds"][:, :Lb], mm["attn_mask"][:, :Lb], np.asarray(ids, np.int32)
+
+    def chat(self, frames: np.ndarray, **kw):
+        """Open a multi-turn conversation over one video: the first ask()
+        packs + prefills the video prompt, every later ask() extends the SAME
+        KV cache with only the new turn's tokens (serving/session.ChatSession)
+        — a capability upgrade over the reference's single-shot main.py:60."""
+        from ..serving.session import ChatSession
+
+        return ChatSession(self, frames, **kw)
+
     def answer_many(
         self,
         frames: np.ndarray,
@@ -492,63 +566,17 @@ class TDCPredictor:
         Question-conditioned compression means per-question video tokens, so
         prefix sharing then ends at the template head; the engine still
         batches all decodes in one lockstep loop."""
-        from ..compress.aspect import frame_token_layout
         from ..serving.batching import DecodeEngine, Request
 
         cfg = self.cfg
         mnt = max_new_tokens or self.max_new_tokens
-        prefixes = []
-        for question in questions:
-            qf = None
-            if isinstance(question, tuple):
-                question, qf = question
-            ids, img_pos, qtext = self.build_text(question, qf)
-            cap = min(budget.max_num_frames(cfg, ids, train=False), self.max_eval_frames)
-            f = frames
-            fsec = frame_seconds
-            if len(f) > cap:
-                idx = [int(len(f) / cap * i) for i in range(cap)]
-                f = f[idx]
-                if fsec is not None:
-                    fsec = fsec[idx]
-            feat_key = None if video_uid is None else (video_uid, frames.shape, min(cap, len(frames)))
-            ff, df, fmask, T = self.encode_video(f, cache_key=feat_key)
-
-            L = self.text_bucket
-            while len(ids) > L:
-                L *= 2
-            padded = np.full((L,), cfg.lm.pad_token_id, np.int32)
-            padded[: len(ids)] = ids
-            qids, qmask = self._qformer_ids(qtext)
-            atok = None
-            if wav is not None and cfg.audio_input:
-                fs = fsec if fsec is not None else np.arange(len(f))
-                atok = self.encode_audio_tokens(wav, T, fs)
-            max_vis = min(
-                budget.max_visual_len(cfg, ids),
-                T * (budget.tokens_per_frame(cfg) + 4) + 256,
+        prefixes = [
+            self.pack_prompt(
+                frames, question, wav=wav, frame_seconds=frame_seconds,
+                video_uid=video_uid,
             )
-            max_vis = int(np.ceil(max_vis / 128) * 128)
-            tv, qp = frame_token_layout(cfg, f.shape[1], f.shape[2])
-            jfn = self._prefix_fn((T, L, max_vis, atok is not None))
-            mm = jfn(
-                self.params,
-                jnp.asarray(padded)[None],
-                jnp.asarray([img_pos], jnp.int32),
-                ff[None],
-                df[None],
-                jnp.asarray(fmask)[None],
-                jnp.asarray(qids)[None],
-                jnp.asarray(qmask)[None],
-                jnp.asarray([len(ids)], jnp.int32),
-                jnp.asarray(tv)[None],
-                jnp.asarray(qp)[None],
-                None if atok is None else atok[None].astype(cfg.dtype),
-            )
-            Lb = int(np.ceil(max(int(mm["seq_len"][0]), 1) / 128) * 128)
-            prefixes.append(
-                (mm["embeds"][:, :Lb], mm["attn_mask"][:, :Lb], np.asarray(ids, np.int32))
-            )
+            for question in questions
+        ]
 
         # Longest common embed prefix across the requests (the shared video
         # prompt), capped one below the shortest valid length so every
@@ -566,9 +594,10 @@ class TDCPredictor:
         if shared_p < prefix_share_threshold:
             shared_p = 0
 
-        # sampling is exact-greedy-incompatible with speculation: a sampled
-        # call routes to a plain-lockstep engine instead of the spec one
-        spec_window = 0 if temperature > 0.0 else self.spec_window
+        # sampled requests speculate too (rejection-sampling verify,
+        # serving/speculative.accept_and_emit_sampled): exact in distribution,
+        # greedy rows in mixed batches stay token-identical
+        spec_window = self.spec_window
         # spec headroom: keep the full mnt budget despite the engine reserving
         # window-1 slots for uncommitted verify tails
         cap_pad = mnt + max(spec_window - 1, 0)

@@ -98,12 +98,22 @@ class Request:
     top_k: int = 0
     top_p: float = 1.0
     seed: int = 0
+    # multi-turn continuation: when set, the engine snapshots this request's
+    # slot cache (prompt + generated KV) into its prefix store under this key
+    # at finish, exempt from prefix GC until release_prefix(key).  A follow-up
+    # request then admits with prefix_key=<same key> and prefix_len=kv_len,
+    # extending only the new turn's tokens — the video prompt and every prior
+    # turn never re-prefill (serving/session.ChatSession).
+    keep_prefix: Any = None
     # filled by the engine
     tokens: List[int] = field(default_factory=list)
     done: bool = False
     cancelled: bool = False
     timed_out: bool = False
     submit_t: float = 0.0
+    kv_len: int = 0  # at finish with keep_prefix: committed cache length
+    # (prompt + generated tokens whose KV was written; the trailing
+    # uncommitted tokens must be re-fed by the continuation)
 
 
 @dataclass
@@ -121,6 +131,18 @@ class _PendingPrefill:
     pos: int = 0  # tokens committed so far
     first: Any = None  # last chunk's next-token argmax (valid when pos==total)
     first_logits: Any = None  # last chunk's next-token logits (for sampling)
+
+
+def _extract_cache(shared: Dict, slot) -> Dict:
+    """Inverse of _insert_cache: slice one slot back out as a batch-1
+    capacity-length cache (the donor format _extend_one consumes)."""
+    out = {}
+    for key in ("k", "v", "k_scale", "v_scale"):
+        if key in shared:
+            out[key] = jax.lax.dynamic_slice_in_dim(shared[key], slot, 1, axis=1)
+    out["mask"] = jax.lax.dynamic_slice_in_dim(shared["mask"], slot, 1, axis=0)
+    out["lengths"] = jax.lax.dynamic_slice_in_dim(shared["lengths"], slot, 1, axis=0)
+    return out
 
 
 def _insert_cache(shared: Dict, one: Dict, slot: int) -> Dict:
@@ -203,6 +225,8 @@ class DecodeEngine:
         self._queue: List[Request] = []
         self._finished: List[Request] = []
         self._prefixes: Dict[Any, Dict] = {}  # prefix_key -> prefilled b1 cache
+        self._kept: set = set()  # keep_prefix keys: session donors exempt
+        # from _gc_prefixes until release_prefix()/reset()
         self.steps = 0  # jitted chunk invocations (for tests/telemetry)
         self.prefix_prefills = 0  # telemetry: full-prefix prefills actually run
         self.prefill_chunks = 0  # telemetry: chunked-admission extends run
@@ -221,6 +245,7 @@ class DecodeEngine:
             self._hist = self._rep(jnp.zeros((num_slots, self._hist_cap), jnp.int32))
             self._hist_len = self._rep(jnp.zeros((num_slots,), jnp.int32))
             self._jchunk_spec = jax.jit(self._decode_chunk_spec)
+            self._jchunk_spec_sampled = jax.jit(self._decode_chunk_spec_sampled)
 
         # per-slot sampling state (Request.temperature > 0): the sampled
         # chunk kernel compiles separately so all-greedy workloads never pay
@@ -237,6 +262,7 @@ class DecodeEngine:
         self._jprefill = jax.jit(self._prefill_one, static_argnums=(3,))
         self._jprefix = jax.jit(self._prefill_prefix)
         self._jextend = jax.jit(self._extend_one)
+        self._jextract = jax.jit(_extract_cache)
         self._jchunk = jax.jit(self._decode_chunk)
         self._jchunk_sampled = jax.jit(self._decode_chunk_sampled)
         self._jsample_first = jax.jit(_sample_rows)
@@ -256,6 +282,7 @@ class DecodeEngine:
         self._queue = []
         self._finished = []
         self._prefixes = {}
+        self._kept = set()
         self.steps = 0
         self.prefix_prefills = 0
         self.prefill_chunks = 0
@@ -421,15 +448,60 @@ class DecodeEngine:
         )
         return cache, tok, active, budget, hist, hist_len, gs, ms
 
+    def _decode_chunk_spec_sampled(
+        self, params, cache, tok, active, budget, hist, hist_len,
+        temp, topk, topp, seed, gidx,
+    ):
+        """Speculative SAMPLING lockstep chunk: the same K-token verify shape
+        as _decode_chunk_spec, but acceptance is the rejection-sampling rule
+        for deterministic drafts (speculative.accept_and_emit_sampled) — every
+        emitted token is exactly warped-target-distributed, accepted drafts
+        arrive K-at-a-time, and greedy rows (temperature 0) in a mixed batch
+        stay token-identical to the greedy spec engine."""
+        from .speculative import accept_and_emit_sampled, propose_ngram
+
+        eos = jnp.asarray(self.cfg.lm.eos_token_ids, jnp.int32)
+        K = self.spec_window
+        srange = jnp.arange(self.num_slots)
+
+        def body(carry, _):
+            cache, tok, active, budget, hist, hist_len, gidx = carry
+            draft, _ = propose_ngram(hist, hist_len, self.spec_ngram, K - 1)
+            tokens = jnp.concatenate([tok[:, None], draft], axis=1)
+            embeds = lm_mod.embed_tokens(self.cfg.lm, params["lm"], tokens, self.cfg.dtype)
+            logits, cache = lm_mod.verify_step(
+                self.cfg.lm, params["lm"], embeds, cache,
+                attn_impl=self.attn_impl, dtype=self.cfg.dtype,
+            )
+            e, m, eos_emitted = accept_and_emit_sampled(
+                logits, draft, eos, budget, ~active, temp, topk, topp, seed, gidx
+            )
+            for j in range(K):
+                sel = j < m
+                hpos = jnp.minimum(hist_len + j, self._hist_cap - 1)
+                hist = hist.at[srange, hpos].set(
+                    jnp.where(sel, e[:, j], hist[srange, hpos])
+                )
+            hist_len = hist_len + m
+            gidx = gidx + m
+            cache = lm_mod.commit_verified(cache, m)
+            new_last = jnp.take_along_axis(
+                e, jnp.maximum(m - 1, 0)[:, None], axis=1
+            )[:, 0]
+            tok = jnp.where(m > 0, new_last, tok)
+            budget = budget - m
+            active = active & ~eos_emitted & (budget > 0)
+            return (cache, tok, active, budget, hist, hist_len, gidx), (e, m)
+
+        (cache, tok, active, budget, hist, hist_len, gidx), (es, ms) = jax.lax.scan(
+            body, (cache, tok, active, budget, hist, hist_len, gidx), None,
+            length=self.chunk_tokens,
+        )
+        return cache, tok, active, budget, hist, hist_len, gidx, es, ms
+
     # -- host-side engine ---------------------------------------------------
 
     def submit(self, req: Request):
-        if self.spec_window >= 2 and req.temperature > 0.0:
-            raise ValueError(
-                "sampled requests (temperature > 0) are incompatible with a "
-                "speculative engine (spec_window >= 2): prompt-lookup "
-                "speculation is exact-greedy only"
-            )
         req.submit_t = _time.perf_counter()
         self._queue.append(req)
 
@@ -655,6 +727,7 @@ class DecodeEngine:
         headroom = max(self.spec_window - 1, 0)
         budget = min(req.max_new_tokens - 1, self.capacity - L - headroom)
         if first_i in self.cfg.lm.eos_token_ids or budget <= 0:
+            self._keep_snapshot_cache1(req, cache1)
             req.done = True
             self._finished.append(req)
             return
@@ -679,6 +752,44 @@ class DecodeEngine:
             self._hist = self._hist.at[slot].set(row)
             self._hist_len = self._hist_len.at[slot].set(n + 1)
 
+    def _keep_snapshot(self, req: Request, slot: Optional[int]):
+        """Snapshot a finishing keep_prefix request's KV into the prefix
+        store, BEFORE its slot can be reused — the continuation donor for
+        ChatSession follow-ups.  slot=None: the request finished at admission
+        (EOS first token / zero budget); its batch-1 cache is padded to
+        capacity to match the donor format."""
+        if req.keep_prefix is None:
+            return
+        if slot is not None:
+            self._prefixes[req.keep_prefix] = self._jextract(
+                self.cache, jnp.asarray(slot, jnp.int32)
+            )
+            req.kv_len = int(np.asarray(self.cache["lengths"])[slot])
+        self._kept.add(req.keep_prefix)
+
+    def _keep_snapshot_cache1(self, req: Request, cache1: Dict):
+        if req.keep_prefix is None:
+            return
+        S1 = cache1["k"].shape[2]
+        pad = self.capacity - S1
+        one = dict(cache1)
+        if pad:
+            for key in ("k", "v"):
+                one[key] = jnp.pad(cache1[key], ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
+            for key in ("k_scale", "v_scale"):
+                if key in cache1:
+                    one[key] = jnp.pad(cache1[key], ((0, 0), (0, 0), (0, pad), (0, 0)))
+            one["mask"] = jnp.pad(cache1["mask"], ((0, 0), (0, pad)))
+        self._prefixes[req.keep_prefix] = one
+        req.kv_len = int(np.asarray(cache1["lengths"])[0])
+        self._kept.add(req.keep_prefix)
+
+    def release_prefix(self, key: Any) -> bool:
+        """Drop a kept session donor (ends the conversation's KV residency;
+        the HBM is reclaimed at the next _gc_prefixes)."""
+        self._kept.discard(key)
+        return self._prefixes.pop(key, None) is not None
+
     def _harvest(self, toks: np.ndarray, budget_before: np.ndarray):
         self._harvested_last = 0
         for slot in range(self.num_slots):
@@ -692,6 +803,7 @@ class DecodeEngine:
             if new:
                 self._emit_tokens(req, new)
             if not bool(self._active[slot]):
+                self._keep_snapshot(req, slot)
                 req.done = True
                 self._finished.append(req)
                 self._requests[slot] = None
@@ -713,6 +825,7 @@ class DecodeEngine:
             if new:
                 self._emit_tokens(req, new)
             if not bool(self._active[slot]):
+                self._keep_snapshot(req, slot)
                 req.done = True
                 self._finished.append(req)
                 self._requests[slot] = None
@@ -727,6 +840,7 @@ class DecodeEngine:
         live = {r.prefix_key for r in self._queue if r.prefix_key is not None}
         if self._pending is not None and self._pending.key is not None:
             live.add(self._pending.key)
+        live |= self._kept  # session donors persist until release_prefix()
         for key in [k for k in self._prefixes if k not in live]:
             del self._prefixes[key]
 
@@ -755,13 +869,27 @@ class DecodeEngine:
                 break
             if self.spec_window >= 2:
                 t0 = _time.perf_counter()
-                (
-                    self.cache, self._last_tok, self._active, budget,
-                    self._hist, self._hist_len, gs, ms,
-                ) = self._jchunk_spec(
-                    self.params, self.cache, self._last_tok, self._active,
-                    jnp.asarray(self._budget), self._hist, self._hist_len,
-                )
+                if any(r is not None and r.temperature > 0.0 for r in self._requests):
+                    # rejection-sampling verify (speculative sampling with
+                    # deterministic drafts); compiled separately so all-greedy
+                    # workloads never pay the per-position warping/sampling
+                    (
+                        self.cache, self._last_tok, self._active, budget,
+                        self._hist, self._hist_len, self._genidx, gs, ms,
+                    ) = self._jchunk_spec_sampled(
+                        self.params, self.cache, self._last_tok, self._active,
+                        jnp.asarray(self._budget), self._hist, self._hist_len,
+                        self._temp, self._topk, self._topp, self._seed,
+                        self._genidx,
+                    )
+                else:
+                    (
+                        self.cache, self._last_tok, self._active, budget,
+                        self._hist, self._hist_len, gs, ms,
+                    ) = self._jchunk_spec(
+                        self.params, self.cache, self._last_tok, self._active,
+                        jnp.asarray(self._budget), self._hist, self._hist_len,
+                    )
                 self._budget = np.array(budget)
                 self.steps += 1
                 self._harvest_spec(np.asarray(gs), np.asarray(ms))

@@ -94,6 +94,101 @@ def accept_and_emit(
     return m, eos_emitted
 
 
+def accept_and_emit_sampled(
+    logits: jnp.ndarray,  # [B, K, V] raw verify_step logits
+    draft: jnp.ndarray,  # [B, K-1] proposed draft tokens
+    eos: jnp.ndarray,  # [E]
+    remaining: jnp.ndarray,  # [B]
+    done: jnp.ndarray,  # [B]
+    temp: jnp.ndarray,  # [B] f32; <= 0 rows take the exact greedy path
+    topk: jnp.ndarray,  # [B] i32
+    topp: jnp.ndarray,  # [B] f32
+    seed: jnp.ndarray,  # [B] i32
+    gidx: jnp.ndarray,  # [B] i32 tokens emitted so far (counter-mode index)
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """SPECULATIVE SAMPLING with deterministic (prompt-lookup) drafts.
+
+    The draft proposal is a point mass (q(d)=1), so the general speculative
+    sampling rule specializes: accept draft d_j with probability p_j(d_j)
+    under the warped target distribution p_j (temperature -> top-k -> top-p,
+    generate.filter_rows — the same warping the plain sampled chunk applies);
+    on first rejection at position a, resample from the residual
+    norm(max(p_a - q, 0)) = p_a with d excluded, renormalized; on full
+    acceptance, the bonus token samples from p_{K-1}.  Every emitted token is
+    therefore EXACTLY p-distributed given its prefix (the standard
+    speculative-sampling guarantee), while accepted drafts arrive K-at-a-time.
+
+    Greedy rows (temp <= 0) reduce to accept_and_emit's exact rule — argmax
+    agreement, argmax emits — so mixed batches keep greedy rows
+    token-identical to the greedy spec engine.
+
+    Randomness is counter-mode like generate.sample_rows: the token at
+    absolute position gidx+j derives its keys from (seed, gidx+j) with
+    separate substreams for the accept uniform and the resample draw, so a
+    request's stream is reproducible and independent of batchmates.  (The
+    spec stream differs from the plain sampled chunk's stream — equality is
+    in distribution, not token-for-token; tests/test_speculative.py
+    Monte-Carlos the marginals against the analytic target.)
+
+    Returns (emit [B, K] tokens, m [B] emit counts, eos_emitted [B]).
+    """
+    from .generate import filter_rows
+
+    B, K, V = logits.shape
+    x = logits.astype(jnp.float32)
+    greedy = jnp.argmax(x, axis=-1).astype(jnp.int32)  # [B, K]
+
+    xw = filter_rows(
+        x.reshape(B * K, V),
+        jnp.repeat(temp, K),
+        jnp.repeat(topk, K),
+        jnp.repeat(topp, K),
+    ).reshape(B, K, V)
+    probs = jax.nn.softmax(xw, axis=-1)
+
+    def per_row(xw_r, probs_r, greedy_r, draft_r, t, sd, gi):
+        # keys: position j -> fold(seed, gi + j); substream 1 = accept
+        # uniform, substream 2 = resample/bonus categorical
+        base = jax.random.fold_in(jax.random.PRNGKey(0), sd)
+        keys = jax.vmap(lambda j: jax.random.fold_in(base, gi + j))(jnp.arange(K))
+        u = jax.vmap(lambda k: jax.random.uniform(jax.random.fold_in(k, 1)))(keys)
+
+        p_d = jnp.take_along_axis(probs_r[:-1], draft_r[:, None], axis=-1)[:, 0]
+        acc_sampled = u[:-1] < p_d
+        acc_greedy = greedy_r[:-1] == draft_r
+        accept = jnp.where(t > 0.0, acc_sampled, acc_greedy)  # [K-1]
+        a = jnp.cumprod(accept.astype(jnp.int32)).sum()  # 0..K-1
+
+        # per-position final-token candidates: j < K-1 resamples with the
+        # rejected draft masked out (the residual distribution); j = K-1 is
+        # the unmasked bonus draw
+        masked = xw_r[:-1].at[jnp.arange(K - 1), draft_r].set(-jnp.inf)
+        cand = jnp.concatenate([masked, xw_r[-1:]], axis=0)  # [K, V]
+        r = jax.vmap(
+            lambda k, row: jax.random.categorical(jax.random.fold_in(k, 2), row)
+        )(keys, cand).astype(jnp.int32)
+        final = jnp.where(t > 0.0, r[a], greedy_r[a])
+
+        j_idx = jnp.arange(K)
+        dpad = jnp.concatenate([draft_r, draft_r[-1:]], axis=0)
+        e = jnp.where(j_idx < a, dpad, jnp.where(j_idx == a, final, 0))
+        # greedy rows emit the argmax everywhere (== draft on accepted
+        # positions by the acceptance rule), matching accept_and_emit
+        e = jnp.where(t > 0.0, e, jnp.where(j_idx <= a, greedy_r, 0))
+        return e, a
+
+    e, a = jax.vmap(per_row)(xw, probs, greedy, draft, temp, seed, gidx)
+    m_raw = a + 1
+    j_idx = jnp.arange(K)[None]
+    is_eos = jnp.any(e[..., None] == eos[None, None, :], axis=-1)
+    eos_hit = is_eos & (j_idx < m_raw[:, None])
+    first_eos = jnp.min(jnp.where(eos_hit, j_idx, K), axis=1)
+    m = jnp.minimum(jnp.minimum(m_raw, first_eos + 1), remaining)
+    m = jnp.where(done, 0, m)
+    eos_emitted = first_eos < m
+    return e, m, eos_emitted
+
+
 def pld_decode_loop(
     cfg: TDCConfig,
     params: Params,

@@ -863,17 +863,39 @@ class TestSampledEngine:
         ]
         assert runs[0] == runs[1] and len(runs[0]) >= 1
 
-    def test_spec_engine_rejects_sampling(self, setup):
+    def test_spec_engine_samples(self, setup):
+        """Sampled requests speculate too (round 5): the spec engine routes
+        them through the rejection-sampling verify chunk — greedy rows in the
+        same batch stay token-identical to the all-greedy spec engine, and a
+        sampled stream is reproducible per seed."""
         cfg, params = setup
-        eng = DecodeEngine(
-            cfg, params, num_slots=2, capacity=64, chunk_tokens=4, spec_window=4
+        rng = np.random.default_rng(23)
+        ids_g = rng.integers(2, 90, 7)
+        ids_s = rng.integers(2, 90, 5)
+
+        def spec_eng():
+            return DecodeEngine(
+                cfg, params, num_slots=2, capacity=64, chunk_tokens=4,
+                spec_window=4,
+            )
+
+        greedy = lambda: _req(cfg, params, ids_g, 10)
+        base = self._run_uid(spec_eng(), [greedy()])
+        gkey = tuple(np.asarray(ids_g, np.int32))
+
+        sampled = lambda seed: self._sampled(
+            cfg, params, ids_s, 10, temperature=1.0, top_k=50, seed=seed,
+            uid="s", prompt_ids=np.asarray(ids_s, np.int32),
         )
-        req = self._sampled(
-            cfg, params, [5, 6, 7], 8, temperature=0.5, uid="s",
-            prompt_ids=np.asarray([5, 6, 7], np.int32),
-        )
-        with pytest.raises(ValueError, match="exact-greedy"):
-            eng.submit(req)
+        mixed = self._run_uid(spec_eng(), [greedy(), sampled(5)])
+        assert mixed[gkey] == base[gkey]  # greedy row unchanged by batchmate
+        assert 1 <= len(mixed["s"]) <= 10
+        assert all(0 <= t < cfg.lm.vocab_size for t in mixed["s"])
+
+        again = self._run_uid(spec_eng(), [sampled(5)])
+        assert again["s"] == mixed["s"]  # counter-mode stream: seed-reproducible
+        other = self._run_uid(spec_eng(), [sampled(6)])
+        assert other["s"] != mixed["s"]  # different seed, different stream
 
     def test_reset_clears_sampling_state(self, setup):
         cfg, params = setup

@@ -291,3 +291,136 @@ class TestMultimodalSpec:
         plain = generate(cfg, params, ids, **kw)
         spec = generate(cfg, params, ids, spec_window=4, spec_ngram=2, **kw)
         np.testing.assert_array_equal(np.asarray(plain), np.asarray(spec))
+
+
+class TestSampledAcceptance:
+    """accept_and_emit_sampled: the rejection-sampling rule for deterministic
+    (prompt-lookup) drafts.  Pure-function tests — no model forward."""
+
+    def _mk(self, B, K, V, seed=0):
+        rng = np.random.default_rng(seed)
+        logits = jnp.asarray(rng.normal(0, 2.0, (B, K, V)), jnp.float32)
+        draft = jnp.asarray(rng.integers(0, V, (B, K - 1)), jnp.int32)
+        eos = jnp.asarray([V - 1], jnp.int32)
+        rem = jnp.full((B,), 100, jnp.int32)
+        done = jnp.zeros((B,), bool)
+        return logits, draft, eos, rem, done
+
+    def test_greedy_rows_match_greedy_rule(self):
+        """temperature <= 0 rows must reproduce accept_and_emit exactly
+        (same emit counts, same emitted tokens)."""
+        from tdc_video_tpu.serving.speculative import (
+            accept_and_emit,
+            accept_and_emit_sampled,
+        )
+
+        B, K, V = 5, 4, 16
+        logits, draft, eos, rem, done = self._mk(B, K, V, seed=3)
+        # make some drafts agree with the argmax so acceptance varies
+        g = jnp.argmax(logits, -1)
+        draft = draft.at[0].set(g[0, 1:])  # full agreement row
+        draft = draft.at[1, 0].set(g[1, 1])  # partial
+
+        zeros = jnp.zeros((B,))
+        e, m, eosd = accept_and_emit_sampled(
+            logits, draft, eos, rem, done, zeros, jnp.zeros((B,), jnp.int32),
+            jnp.ones((B,)), jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
+        )
+        m_ref, eos_ref = accept_and_emit(g.astype(jnp.int32), draft, eos, rem, done)
+        np.testing.assert_array_equal(np.asarray(m), np.asarray(m_ref))
+        np.testing.assert_array_equal(np.asarray(eosd), np.asarray(eos_ref))
+        # emitted prefix == the greedy continuations
+        for b in range(B):
+            n = int(m[b])
+            np.testing.assert_array_equal(
+                np.asarray(e)[b, :n], np.asarray(g)[b, :n]
+            )
+
+    def test_first_emit_marginal_matches_target(self):
+        """The speculative-sampling guarantee: P(first emitted token = t)
+        must equal the warped target p_0(t) EXACTLY — accept contributes
+        p(d) at t=d, rejection contributes (1-p(d)) * residual.  Monte Carlo
+        over seeds (the seed axis vectorizes as batch)."""
+        from tdc_video_tpu.serving.speculative import accept_and_emit_sampled
+
+        N, K, V = 4000, 3, 8
+        rng = np.random.default_rng(0)
+        row_logits = rng.normal(0, 1.5, (K, V)).astype(np.float32)
+        d = rng.integers(0, V, (K - 1,)).astype(np.int32)
+        logits = jnp.asarray(np.broadcast_to(row_logits, (N, K, V)))
+        draft = jnp.asarray(np.broadcast_to(d, (N, K - 1)))
+        eos = jnp.asarray([V + 5], jnp.int32)  # unreachable: no EOS capping
+        rem = jnp.full((N,), 100, jnp.int32)
+        done = jnp.zeros((N,), bool)
+        temp = jnp.full((N,), 1.0)
+        topk = jnp.zeros((N,), jnp.int32)
+        topp = jnp.ones((N,))
+        seeds = jnp.arange(N, dtype=jnp.int32)
+        gidx = jnp.zeros((N,), jnp.int32)
+
+        e, m, _ = accept_and_emit_sampled(
+            logits, draft, eos, rem, done, temp, topk, topp, seeds, gidx
+        )
+        first = np.asarray(e)[:, 0]
+        freq = np.bincount(first, minlength=V) / N
+        p0 = np.asarray(jax.nn.softmax(jnp.asarray(row_logits[0])))
+        np.testing.assert_allclose(freq, p0, atol=0.03)
+        # acceptance rate of the first draft == p_0(d_0)
+        acc = (np.asarray(m) >= 2).mean()  # m>=2 iff draft 0 accepted
+        np.testing.assert_allclose(acc, p0[d[0]], atol=0.03)
+
+    def test_rejected_draft_never_reemitted(self):
+        """On rejection the residual distribution excludes the draft token:
+        whenever m stops at position j (j < K-1 rejection), e[j] != d[j]."""
+        from tdc_video_tpu.serving.speculative import accept_and_emit_sampled
+
+        N, K, V = 2000, 4, 6
+        rng = np.random.default_rng(1)
+        row_logits = rng.normal(0, 1.0, (K, V)).astype(np.float32)
+        d = rng.integers(0, V, (K - 1,)).astype(np.int32)
+        e, m, _ = accept_and_emit_sampled(
+            jnp.asarray(np.broadcast_to(row_logits, (N, K, V))),
+            jnp.asarray(np.broadcast_to(d, (N, K - 1))),
+            jnp.asarray([V + 5], jnp.int32),
+            jnp.full((N,), 100, jnp.int32),
+            jnp.zeros((N,), bool),
+            jnp.full((N,), 1.0),
+            jnp.zeros((N,), jnp.int32),
+            jnp.ones((N,)),
+            jnp.arange(N, dtype=jnp.int32),
+            jnp.zeros((N,), jnp.int32),
+        )
+        e, m = np.asarray(e), np.asarray(m)
+        rejected = m < K  # stopped before full acceptance + bonus
+        for b in np.nonzero(rejected)[0][:500]:
+            j = m[b] - 1  # the resampled position
+            if j < K - 1:
+                assert e[b, j] != d[j], (b, j, e[b], d)
+
+    def test_second_position_conditional_matches_target(self):
+        """Given the first draft accepted, the SECOND emitted token must be
+        p_1-distributed (accept d_1 w.p. p_1(d_1), else residual)."""
+        from tdc_video_tpu.serving.speculative import accept_and_emit_sampled
+
+        N, K, V = 6000, 3, 6
+        rng = np.random.default_rng(2)
+        row_logits = rng.normal(0, 1.0, (K, V)).astype(np.float32)
+        d = rng.integers(0, V, (K - 1,)).astype(np.int32)
+        e, m, _ = accept_and_emit_sampled(
+            jnp.asarray(np.broadcast_to(row_logits, (N, K, V))),
+            jnp.asarray(np.broadcast_to(d, (N, K - 1))),
+            jnp.asarray([V + 5], jnp.int32),
+            jnp.full((N,), 100, jnp.int32),
+            jnp.zeros((N,), bool),
+            jnp.full((N,), 1.0),
+            jnp.zeros((N,), jnp.int32),
+            jnp.ones((N,)),
+            jnp.arange(N, dtype=jnp.int32),
+            jnp.zeros((N,), jnp.int32),
+        )
+        e, m = np.asarray(e), np.asarray(m)
+        sel = m >= 2  # first draft accepted -> position 1 emitted
+        if sel.sum() > 500:
+            freq = np.bincount(e[sel, 1], minlength=V) / sel.sum()
+            p1 = np.asarray(jax.nn.softmax(jnp.asarray(row_logits[1])))
+            np.testing.assert_allclose(freq, p1, atol=0.04)
