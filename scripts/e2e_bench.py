@@ -7,7 +7,12 @@ and the greedy decode loop.  Reports a per-stage table, time-to-first-token
 (everything before the first generated token), and end-to-end wall vs
 playback.  Structural int8 weights passed as jit args (honest; PERF.md).
 
-Usage: python scripts/e2e_bench.py [minutes] [3b|7b|tiny] [kv8] [mesh=DxM]
+Usage: python scripts/e2e_bench.py [minutes] [3b|7b|tiny] [kv8] [mesh=DxM] [audio]
+
+audio: the reference demo shape (/root/reference/main.py:28-60) — a real WAV
+accompanies the video; fbank+BEATs encode dispatches asynchronously while the
+host decodes video (steady run), so the table shows whether audio encode
+hides inside the decode window and what it adds to TTFT.
 
 mesh=DxM (e.g. mesh=4x2) runs the multi-chip serving path: frames shard over
 the `data` axis inside StreamingEncoder (encode scales ~linearly with D), the
@@ -39,6 +44,7 @@ def main():
     minutes = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
     which = sys.argv[2] if len(sys.argv) > 2 else "7b"
     kv_quant = "int8" if "kv8" in sys.argv[3:] else None
+    audio_on = "audio" in sys.argv[3:]
     mesh = None
     for arg in sys.argv[3:]:
         if arg.startswith("mesh="):
@@ -57,9 +63,26 @@ def main():
         encode_test_video(path, 480, 360, fps=src_fps, n_frames=n_frames)
         print(f"fixture: {path} ({os.path.getsize(path)/1e6:.1f} MB, {time.time()-t0:.0f}s)")
 
-    cfg = {"7b": C.tdc_qwen2_7b, "3b": C.tdc_llama32_3b, "tiny": C.tdc_tiny}[which]()
+    cfg = {"7b": C.tdc_qwen2_7b, "3b": C.tdc_llama32_3b, "tiny": C.tdc_tiny}[which](
+        audio=audio_on
+    )
     if which != "tiny":
         cfg = dataclasses.replace(cfg, param_dtype=jnp.bfloat16)
+
+    wav_path = None
+    if audio_on:
+        import wave
+
+        wav_path = os.path.join(tempfile.gettempdir(), f"stream_wav_{int(minutes)}m.wav")
+        if not os.path.exists(wav_path):
+            rngw = np.random.default_rng(7)
+            pcm = (rngw.normal(0, 0.05, int(minutes * 60 * 16000)) * 32767).astype("<i2")
+            with wave.open(wav_path, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(16000)
+                w.writeframes(pcm.tobytes())
+            print(f"wav fixture: {wav_path} ({os.path.getsize(wav_path)/1e6:.1f} MB)")
     # tiny: shrink the static envelope so the CPU-mesh validation compiles fast
     MAX_LEN, MAX_VIS, L = (4096, 3584, 64) if which != "tiny" else (256, 128, 16)
     max_frames = 1000 if which != "tiny" else cfg.compression.max_eval_frames
@@ -92,28 +115,84 @@ def main():
         first = jnp.argmax(logits, -1).astype(jnp.int32)
         return first, cache
 
-    jprep = jax.jit(lambda p, ff, df, fm, i, ip, tl: prepare_multimodal_from_features(
-        cfg, p, i, ip, ff[None], df[None], fm[None], None, None,
-        text_len=tl, max_len=MAX_LEN, max_visual_len=MAX_VIS,
-    ))
+    if audio_on:
+        jprep = jax.jit(lambda p, ff, df, fm, i, ip, tl, at: prepare_multimodal_from_features(
+            cfg, p, i, ip, ff[None], df[None], fm[None], None, None,
+            audio_tokens=at[None], text_len=tl, max_len=MAX_LEN, max_visual_len=MAX_VIS,
+        ))
+    else:
+        jprep = jax.jit(lambda p, ff, df, fm, i, ip, tl: prepare_multimodal_from_features(
+            cfg, p, i, ip, ff[None], df[None], fm[None], None, None,
+            text_len=tl, max_len=MAX_LEN, max_visual_len=MAX_VIS,
+        ))
     jprefill = jax.jit(lm_path)
     jdecode = jax.jit(lambda p, c, f: decode_loop(cfg, p, c, f, NEW))
+
+    audio_state = {}  # frame bucket T + jitted encode, learned on warmup
+
+    def dispatch_audio(wins, wmask, T):
+        """Async device dispatch of fbank+BEATs+pooling (model.encode_audio);
+        at 1 fps second s maps to frame s (ops/audio.second_groups)."""
+        from tdc_video_tpu.model import encode_audio
+        from tdc_video_tpu.ops.audio import second_groups
+
+        if "jfn" not in audio_state:
+            S = wins.shape[0] * 10
+            keep = np.zeros(S, np.int64)
+            keep[: min(T, S)] = 1
+            f, p_, g = second_groups(keep)
+            f = np.clip(f, 0, T - 1)
+            if len(g) < T:
+                g = np.concatenate([g, np.ones(T - len(g), np.int32)])
+            sv = np.arange(S) < min(T, S)
+            audio_state["args"] = tuple(
+                jnp.asarray(a) for a in (f, p_, g[:T], sv)
+            )
+            audio_state["jfn"] = jax.jit(
+                lambda prm, w, m: encode_audio(
+                    cfg, prm, w, m, *audio_state["args"][:3], T,
+                    sec_valid=audio_state["args"][3],
+                )
+            )
+        return audio_state["jfn"](params, jnp.asarray(wins), jnp.asarray(wmask))
 
     def once(label, salt):
         ids[txt - 4] = 5 + salt  # distinct args per run (axon memoizes identical runs)
         stages = {}
         t0 = time.perf_counter()
+        atok = None
+        if audio_on:
+            from tdc_video_tpu.media.io import load_audio, window_audio
+
+            wav = load_audio(wav_path)
+            wins, wmask = window_audio(wav)
+            stages["audio host load+window"] = time.perf_counter() - t0
+            if "T" in audio_state:
+                # steady run: dispatch BEATs NOW — it executes on-device while
+                # the host below decodes video (the overlap question)
+                atok = dispatch_audio(wins, wmask, audio_state["T"])
         ff, df, fm, ts, st = enc.encode_stream(path, fps=1.0)
         jax.block_until_ready(ff)
         t1 = time.perf_counter()
         stages["decode+encode (overlapped)"] = t1 - t0
         stages["  host decode"] = st.decode_s
         stages["  device encode"] = st.encode_s
-        mm = jprep(
+        if audio_on:
+            if atok is None:  # warmup: bucket unknown before the first encode
+                audio_state["T"] = ff.shape[0]
+                atok = dispatch_audio(wins, wmask, audio_state["T"])
+            jax.block_until_ready(atok)
+            t1b = time.perf_counter()
+            stages["audio encode visible (post-encode)"] = t1b - t1
+            t1 = t1b
+        prep_args = (
             params, ff.astype(cfg.dtype), df.astype(cfg.dtype), fm,
             jnp.asarray(ids)[None], jnp.asarray([min(10, txt // 2)], jnp.int32),
             jnp.asarray([txt], jnp.int32),
         )
+        if audio_on:
+            prep_args = prep_args + (atok.astype(cfg.dtype),)
+        mm = jprep(*prep_args)
         np.asarray(mm["seq_len"])
         t2 = time.perf_counter()
         stages["compress+splice"] = t2 - t1
@@ -128,7 +207,8 @@ def main():
         ttft = t3 - t0
         wall = t4 - t0
         print(f"\n[{label}] {minutes:.0f}-min video, {which} int8"
-              + (f"+kv{kv_quant}" if kv_quant else ""))
+              + (f"+kv{kv_quant}" if kv_quant else "")
+              + (" +audio" if audio_on else ""))
         for k, v in stages.items():
             print(f"  {k:<34} {v*1e3:9.0f} ms")
         print(f"  {'TTFT (video -> first token)':<34} {ttft*1e3:9.0f} ms")
