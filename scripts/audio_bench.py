@@ -68,14 +68,19 @@ def main():
             )
         )
         wmask = jnp.ones((W, 160000), bool)
-        # warmup/compile
-        wav = jnp.asarray(rng.normal(0, 0.05, (W, 160000)), jnp.float32)
-        np.asarray(jfn(aparams, wav, wmask))
+        # pre-stage the waveform on device and salt it there per iteration:
+        # the axon tunnel's host->device bandwidth would otherwise dominate
+        # large-W batches (38 MB/iter at W=60) and misattribute transfer
+        # time to the encode (a real host feeds from local RAM)
+        wav0 = jax.device_put(
+            jnp.asarray(rng.normal(0, 0.05, (W, 160000)), jnp.float32)
+        )
+        salt = jax.jit(lambda w, i: w + i * 1e-6)
+        np.asarray(jfn(aparams, salt(wav0, 0.0), wmask))  # warmup/compile
 
         t0 = time.perf_counter()
         for i in range(iters):
-            wav = jnp.asarray(rng.normal(0, 0.05, (W, 160000)), jnp.float32)
-            out = jfn(aparams, wav, wmask)
+            out = jfn(aparams, salt(wav0, float(i + 1)), wmask)
         np.asarray(out)
         dt = (time.perf_counter() - t0) / iters
         print(f"{which} BEATs: {W:3d} windows ({secs:4d} s audio) -> "

@@ -7,7 +7,7 @@ lockstep decode is small at the HBM roofline (weights stream once per step
 regardless of batch), so aggregate tok/s should scale nearly linearly until
 the MXU or cache traffic saturates — this script measures where.
 
-Usage: python scripts/engine_bench.py [3b|7b] [kv8] [spec] [prefix] [stall]
+Usage: python scripts/engine_bench.py [3b|7b] [kv8] [spec] [sampled] [prefix] [stall]
 
 `spec` runs the speculative lockstep (spec_window=8) at the full-acceptance
 ceiling (zero weights decode the constant token 0; prompts end in a run of
@@ -31,7 +31,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 import numpy as np, jax.numpy as jnp
 
 
-def run(which, lm_cfg, kv_quant, spec=0):
+def run(which, lm_cfg, kv_quant, spec=0, temperature=0.0):
     from tdc_video_tpu import config as C
     from tdc_video_tpu.models import lm as lm_mod
     from tdc_video_tpu.models.quant import quantize_lm_int8
@@ -63,6 +63,7 @@ def run(which, lm_cfg, kv_quant, spec=0):
             embeds=embeds, attn_mask=jnp.ones((1, L), bool),
             max_new_tokens=NEW, uid=i,
             prompt_ids=np.asarray(ids[0]) if spec else None,
+            temperature=temperature, top_k=50, seed=i,
         )
 
     for slots in (1, 2, 4):
@@ -85,6 +86,7 @@ def run(which, lm_cfg, kv_quant, spec=0):
         n_tok = sum(len(r.tokens) for r in done)
         kv = f"+kv{kv_quant}" if kv_quant else ""
         sp = f"+spec{spec}" if spec else ""
+        sp += f"+T{temperature}" if temperature else ""
 
         # Steady-state decode column: wall tok/s entangles the serialized
         # per-request prefills and this host's ~30 ms/dispatch tunnel
@@ -227,4 +229,12 @@ if __name__ == "__main__":
         run_stall(which, lm, kv)
     else:
         spec = 8 if "spec" in sys.argv[2:] else 0
-        run(which, lm, kv, spec)
+        # `sampled`: per-request temperature 1.0.  With `spec`, zero weights
+        # give a UNIFORM warped target, so draft acceptance is ~1/vocab —
+        # this measures the sampled-spec FLOOR (verify overhead with nothing
+        # accepted); the ceiling equals the greedy spec ceiling (acceptance
+        # -> 1 as the target sharpens / temperature -> 0), and expected-case
+        # acceptance = p_temp(draft) needs real checkpoint logits (blocked,
+        # TODO.md).
+        temperature = 1.0 if "sampled" in sys.argv[2:] else 0.0
+        run(which, lm, kv, spec, temperature)
