@@ -580,16 +580,32 @@ class TDCPredictor:
 
         # Longest common embed prefix across the requests (the shared video
         # prompt), capped one below the shortest valid length so every
-        # request keeps at least one suffix token.
+        # request keeps at least one suffix token.  The comparison runs ON
+        # DEVICE and fetches one scalar per pair: pulling each [1, Lb, H]
+        # packed-prompt embed to host (~26 MB at 7B) cost more than the
+        # prefill sharing saved on remote-runtime hosts (measured round 5,
+        # eval_group_bench: grouped-warm 24.6 s vs solo 7.8 s before this).
         shared_p = 0
         if len(prefixes) > 1:
-            e0 = np.asarray(prefixes[0][0], np.float32)[0]
+            if not hasattr(self, "_jprefix_len"):
+                def _plen(e0, e1):
+                    n = min(e0.shape[1], e1.shape[1])
+                    eq = jnp.all(e0[:, :n] == e1[:, :n], axis=-1)[0]
+                    # first mismatch index == common prefix length (the
+                    # appended False makes full-match return n)
+                    return jnp.argmin(
+                        jnp.concatenate([eq, jnp.zeros((1,), bool)])
+                    )
+
+                self._jprefix_len = jax.jit(_plen)
+            e0 = prefixes[0][0]
             lim = int(np.asarray(prefixes[0][1]).sum()) - 1
             for e, m, _ in prefixes[1:]:
-                e = np.asarray(e, np.float32)[0]
-                n = min(lim, e.shape[0], int(np.asarray(m).sum()) - 1)
-                eq = np.all(e0[:n] == e[:n], axis=-1)
-                lim = n if eq.all() else int(np.argmin(eq))
+                lim = min(
+                    lim,
+                    int(np.asarray(m).sum()) - 1,
+                    int(self._jprefix_len(e0, e)),
+                )
             shared_p = max(lim, 0)
         if shared_p < prefix_share_threshold:
             shared_p = 0
