@@ -23,7 +23,7 @@ with causal attention, bwd 2x fwd when weights train / 1x when frozen
 (activation grads only), towers fwd-only when nothing upstream trains,
 +1 fwd for remat of the LM).  Random weights/data passed as jit args.
 
-Usage: python scripts/train_shape_bench.py [stage3|stage1] [n_steps] [frames]
+Usage: python scripts/train_shape_bench.py [stage3|stage1] [n_steps] [frames] [seq_len]
 """
 import os
 import sys
@@ -81,8 +81,9 @@ def main():
     cfg = dataclasses.replace(cfg, param_dtype=jnp.bfloat16)
 
     if mode == "stage3":
-        B, L = 1, 8192
-        MAX_VIS = 4096
+        B = 1
+        L = int(sys.argv[4]) if len(sys.argv) > 4 else 8192
+        MAX_VIS = min(4096, L // 2)
         tcfg = TrainConfig(
             output_dir=tempfile.mkdtemp(prefix="tsb3_"),
             learning_rate=5e-6, lora_enable=True, lora_r=128, lora_alpha=256,

@@ -124,6 +124,13 @@ def linear(p: Params, x: jnp.ndarray, dtype=None, act_quant: bool = False) -> jn
         return y
     w = p["w"].astype(x.dtype)
     y = x @ w
+    if "lora_a" in p:
+        # runtime LoRA (train/lora.graft_lora): y += (x @ A) @ B_scaled as
+        # two thin gemms.  Materializing merged weights in-graph instead
+        # (apply_lora) holds a full f32 delta + a second copy of the LM —
+        # measured +12 GB at 3B, the difference between stage-3 fitting one
+        # v5e chip and OOM (PERF.md round 5).
+        y = y + (x @ p["lora_a"].astype(x.dtype)) @ p["lora_b"].astype(x.dtype)
     if "b" in p:
         y = y + p["b"].astype(y.dtype)
     return y

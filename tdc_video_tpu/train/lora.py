@@ -5,11 +5,13 @@ find_all_linear_names targets + a forced-trainable non-LoRA list).  Instead of
 monkey-patching modules, LoRA lives in its own pytree:
 
     lora = init_lora(key, params["lm"], rank, targets)   # A ~ N(0,.02), B = 0
+    lm = graft_lora(params["lm"], lora, alpha, rank)     # y = xW + (xA)B at matmul time
     merged_lm = apply_lora(params["lm"], lora, alpha, rank)  # w + A@B * alpha/r
 
-apply_lora is traced inside the train step, so only the small A/B leaves carry
-gradients; at export time merge_lora_params bakes the deltas in (the
-equivalent of utils/merge_lora_weights.py:7-14).
+The train step traces graft_lora (runtime form — no merged weight copies in
+memory), so only the small A/B leaves carry gradients; at export time
+merge_lora_params bakes the deltas in via apply_lora (the equivalent of
+utils/merge_lora_weights.py:7-14).
 """
 
 from __future__ import annotations
@@ -66,6 +68,31 @@ def apply_lora(params: Any, lora: Any, alpha: float, rank: int) -> Any:
         return p + (delta * scale).astype(p.dtype)
 
     return jax.tree_util.tree_map_with_path(merge, params)
+
+
+def graft_lora(params: Any, lora: Any, alpha: float, rank: int) -> Any:
+    """Attach A / (B * alpha/rank) NEXT TO each targeted weight leaf so the
+    layer forward computes y = x@W + (x@A)@B at matmul time
+    (models/layers.linear "lora_a" branch).  This is the train-step form:
+    apply_lora materializes an f32 delta plus a merged copy of every LM
+    weight in-graph (~+12 GB at 3B — the difference between stage-3 fitting
+    one v5e chip and OOM, PERF.md round 5); grafting adds only the A/B
+    leaves themselves.  Stacked [L, ...] weights get stacked [L, in, r] /
+    [L, r, out] leaves, which ride the lax.scan layer axis like any other
+    layer param.  Gradients flow to the caller's lora tree through the
+    grafted references (B carries the alpha/rank scale, differentiably)."""
+    scale = alpha / rank
+    # tree_map rebuilds every container, so in-place edits below never touch
+    # the caller's tree
+    out = jax.tree_util.tree_map(lambda x: x, params)
+    for key, ab in lora.items():
+        names = key.split("/")
+        cur = out
+        for n in names[:-1]:  # drop the trailing "w": graft beside it
+            cur = cur[n]
+        cur["lora_a"] = ab["a"]
+        cur["lora_b"] = ab["b"] * scale
+    return out
 
 
 def merge_lora_params(params: Any, lora: Any, alpha: float, rank: int) -> Any:

@@ -312,7 +312,10 @@ class Trainer:
         else:
             params = dict(frozen_params)
             params.update(opt_params["extra"])
-            params["lm"] = lora_lib.apply_lora(
+            # runtime LoRA: A/B graft beside each weight and apply at matmul
+            # time (layers.linear) — the old in-graph apply_lora merge held an
+            # f32 delta + a second full LM copy (+12 GB at 3B; PERF.md r5)
+            params["lm"] = lora_lib.graft_lora(
                 frozen_params["lm"], opt_params["lora"], self.tcfg.lora_alpha, self.tcfg.lora_r
             )
         attn_impl = self.tcfg.attn_impl

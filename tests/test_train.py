@@ -74,6 +74,59 @@ class TestLoRA:
         )
 
 
+class TestLoRAGraft:
+    """graft_lora (runtime y = xW + (xA)B, the train-step form) must be
+    numerically interchangeable with apply_lora (merged weights) — forward
+    logits AND gradients w.r.t. the A/B leaves."""
+
+    def _setup(self):
+        cfg = tdc_tiny()
+        params = init_tdc(jax.random.PRNGKey(0), cfg)["lm"]
+        lora = lora_lib.init_lora(jax.random.PRNGKey(1), params, rank=4)
+        # nonzero B everywhere so the delta actually participates
+        lora = jax.tree_util.tree_map(
+            lambda x: x + 0.03 * jax.random.normal(jax.random.PRNGKey(2), x.shape), lora
+        )
+        ids = jnp.asarray(np.random.default_rng(0).integers(2, 100, (2, 12)), jnp.int32)
+        return cfg.lm, params, lora, ids
+
+    def test_forward_parity(self):
+        from tdc_video_tpu.models import lm as lm_mod
+
+        lmcfg, params, lora, ids = self._setup()
+        merged = lora_lib.apply_lora(params, lora, alpha=8, rank=4)
+        grafted = lora_lib.graft_lora(params, lora, alpha=8, rank=4)
+        a = lm_mod.lm_forward(lmcfg, merged, input_ids=ids, dtype=jnp.float32)
+        b = lm_mod.lm_forward(lmcfg, grafted, input_ids=ids, dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
+
+    def test_grad_parity_and_caller_tree_untouched(self):
+        from tdc_video_tpu.models import lm as lm_mod
+
+        lmcfg, params, lora, ids = self._setup()
+
+        def loss_merged(l):
+            p = lora_lib.apply_lora(params, l, alpha=8, rank=4)
+            return lm_mod.lm_forward(lmcfg, p, input_ids=ids, dtype=jnp.float32).sum()
+
+        def loss_grafted(l):
+            p = lora_lib.graft_lora(params, l, alpha=8, rank=4)
+            return lm_mod.lm_forward(lmcfg, p, input_ids=ids, dtype=jnp.float32).sum()
+
+        gm = jax.grad(loss_merged)(lora)
+        gg = jax.grad(loss_grafted)(lora)
+        total = 0.0
+        for k in lora:
+            for ab in ("a", "b"):
+                np.testing.assert_allclose(
+                    np.asarray(gm[k][ab]), np.asarray(gg[k][ab]), rtol=2e-4, atol=2e-4
+                )
+                total += float(np.abs(np.asarray(gg[k][ab])).sum())
+        assert total > 0.0  # gradients actually flow through the graft
+        # grafting must not mutate the caller's param tree
+        assert "lora_a" not in params["layers"]["q_proj"]
+
+
 class TestDatasetUtils:
     def test_uniform_sample(self):
         frames = np.arange(10)[:, None]
