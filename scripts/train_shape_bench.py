@@ -89,7 +89,7 @@ def main():
             learning_rate=5e-6, lora_enable=True, lora_r=128, lora_alpha=256,
             gradient_accumulation_steps=2, model_max_length=L,
             max_visual_len=MAX_VIS, report_to="none", logging_steps=10**9,
-            save_steps=10**9,
+            save_steps=10**9, loss_chunk=512,
         )
     else:
         B, L = 8, 1024

@@ -435,9 +435,11 @@ def tdc_loss(
     max_visual_len: int = 2048,
     attn_impl: str = "xla",
     remat: bool = True,
+    loss_chunk: Optional[int] = None,
 ) -> jnp.ndarray:
     """Training loss for a multimodal batch (reference training path:
-    cambrian_qwen.py:232 -> prepare_inputs... -> CE :374-385)."""
+    cambrian_qwen.py:232 -> prepare_inputs... -> CE :374-385).  loss_chunk:
+    chunked CE for long contexts (models/lm.lm_loss)."""
     mm = prepare_multimodal_inputs(
         cfg,
         params,
@@ -473,4 +475,5 @@ def tdc_loss(
         attn_impl=attn_impl,
         remat=remat,
         dtype=cfg.dtype,
+        loss_chunk=loss_chunk,
     )

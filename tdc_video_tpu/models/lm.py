@@ -316,8 +316,11 @@ def lm_forward(
     dtype=jnp.bfloat16,
     seq_axis: Optional[str] = None,
     act_quant: bool = False,
+    return_hidden: bool = False,
 ) -> jnp.ndarray:
-    """Full-sequence causal forward (training / scoring).  Returns f32 logits.
+    """Full-sequence causal forward (training / scoring).  Returns f32 logits
+    (or the final hidden states when return_hidden — the chunked-CE path in
+    lm_loss applies the head itself).
 
     seq_axis: mesh axis name to shard the SEQUENCE dim over (sequence
     parallelism for long prefill — a capability the reference lacks,
@@ -351,6 +354,8 @@ def lm_forward(
         causal=True,
         act_quant=act_quant,
     )
+    if return_hidden:
+        return hidden
     return lm_head(cfg, params, hidden)
 
 
@@ -364,10 +369,42 @@ def lm_loss(
     attn_impl: str = "xla",
     remat: bool = True,
     dtype=jnp.bfloat16,
+    loss_chunk: Optional[int] = None,
 ) -> jnp.ndarray:
     """Shifted cross-entropy over valid label positions (reference CE at
-    cambrian_qwen.py:374-385)."""
-    logits = lm_forward(
+    cambrian_qwen.py:374-385).
+
+    loss_chunk: compute the CE in lax.scan chunks of this many positions,
+    rematerializing each chunk's [B, C, V] logits in the backward pass
+    instead of holding the full [B, T, V] f32 logits + log-softmax (+
+    cotangents) live.  At 8k tokens over a 128k vocab the unchunked form
+    costs ~4.2 GB per buffer — the single largest activation in long-context
+    training and what kept stage-3 at 8k off one v5e chip; chunked at 512 it
+    peaks at ~0.26 GB.  Numerically identical ops per position (f32
+    log-softmax, f32 accumulate), so parity with the unchunked path is exact
+    up to sum order (tests/test_lm.py::test_chunked_loss_matches)."""
+    targets = labels[:, 1:]
+    valid = targets >= 0
+    safe_targets = jnp.clip(jnp.where(valid, targets, 0), 0, cfg.vocab_size - 1)
+    denom = jnp.maximum(valid.sum(), 1)
+
+    if loss_chunk is None:
+        logits = lm_forward(
+            cfg,
+            params,
+            inputs_embeds=inputs_embeds,
+            attention_mask=attention_mask,
+            positions=positions,
+            attn_impl=attn_impl,
+            remat=remat,
+            dtype=dtype,
+        )
+        logits = logits[:, :-1]
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        tok_ll = jnp.take_along_axis(logp, safe_targets[..., None], axis=-1)[..., 0]
+        return -(tok_ll * valid).sum() / denom
+
+    hidden = lm_forward(
         cfg,
         params,
         inputs_embeds=inputs_embeds,
@@ -376,15 +413,34 @@ def lm_loss(
         attn_impl=attn_impl,
         remat=remat,
         dtype=dtype,
+        return_hidden=True,
     )
-    logits = logits[:, :-1]
-    targets = labels[:, 1:]
-    valid = targets >= 0
-    safe_targets = jnp.clip(jnp.where(valid, targets, 0), 0, cfg.vocab_size - 1)
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    tok_ll = jnp.take_along_axis(logp, safe_targets[..., None], axis=-1)[..., 0]
-    denom = jnp.maximum(valid.sum(), 1)
-    return -(tok_ll * valid).sum() / denom
+    B, T, H = hidden.shape
+    C = int(loss_chunk)
+    n = -(-(T - 1) // C)  # chunks over the T-1 predicting positions
+    pad = n * C - (T - 1)
+    h = jnp.pad(hidden[:, :-1], ((0, 0), (0, pad), (0, 0)))
+    t = jnp.pad(safe_targets, ((0, 0), (0, pad)))
+    v = jnp.pad(valid, ((0, 0), (0, pad)))
+    # scan over [n, B, C, ...] chunk-major slices; the chunk body is
+    # checkpointed so backward recomputes its logits instead of storing them
+    h = h.reshape(B, n, C, H).swapaxes(0, 1)
+    t = t.reshape(B, n, C).swapaxes(0, 1)
+    v = v.reshape(B, n, C).swapaxes(0, 1)
+
+    @jax.checkpoint
+    def chunk_ll(h_c, t_c, v_c):
+        logits = lm_head(cfg, params, h_c)  # [B, C, V] f32
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        ll = jnp.take_along_axis(logp, t_c[..., None], axis=-1)[..., 0]
+        return (ll * v_c).sum()
+
+    def body(acc, xs):
+        h_c, t_c, v_c = xs
+        return acc + chunk_ll(h_c, t_c, v_c), None
+
+    total, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), (h, t, v))
+    return -total / denom
 
 
 # ---------------------------------------------------------------------------

@@ -83,6 +83,9 @@ class TrainConfig:
     model_max_length: int = 8192
     max_train_frames: int = 64
     max_visual_len: int = 4096
+    # chunked CE: cap live logits at [B, loss_chunk, V] instead of the full
+    # [B, T, V] f32 (~4.2 GB/buffer at 8k x 128k vocab); None = unchunked
+    loss_chunk: Optional[int] = None
 
     group_by_modality_length: bool = True
     report_to: str = "jsonl"  # "jsonl" | "tensorboard" | "none"
@@ -331,6 +334,7 @@ class Trainer:
             max_visual_len=self.tcfg.max_visual_len,
             attn_impl=attn_impl,
             remat=True,
+            loss_chunk=self.tcfg.loss_chunk,
         )
 
     def _make_step(self, batch):

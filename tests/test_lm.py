@@ -179,3 +179,33 @@ def test_lm_loss_ignores_masked_labels():
     )
     assert np.isfinite(float(loss_all)) and float(loss_all) > 0
     assert float(loss_none) == 0.0
+
+
+def test_chunked_loss_matches():
+    """loss_chunk (scan + per-chunk logit remat) must match the unchunked CE
+    in value AND gradient — including a ragged tail chunk and masked labels."""
+    cfg = _tiny_cfg("qwen2")
+    params = lm_mod.init_lm(jax.random.PRNGKey(0), cfg)
+    B, T = 2, 11  # T-1 = 10 -> chunk 4 leaves a ragged tail of 2
+    ids = jax.random.randint(jax.random.PRNGKey(4), (B, T), 0, cfg.vocab_size)
+    embeds = lm_mod.embed_tokens(cfg, params, ids, jnp.float32)
+    labels = np.asarray(ids).copy()
+    labels[:, :3] = -100
+    labels = jnp.asarray(labels)
+    mask = jnp.ones((B, T), jnp.bool_)
+
+    def loss(p, chunk):
+        return lm_mod.lm_loss(
+            cfg, p, embeds, labels, mask, remat=False, dtype=jnp.float32,
+            loss_chunk=chunk,
+        )
+
+    l0, g0 = jax.value_and_grad(loss)(params, None)
+    l1, g1 = jax.value_and_grad(loss)(params, 4)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6
+        ),
+        g0, g1,
+    )
