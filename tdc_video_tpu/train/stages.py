@@ -27,6 +27,7 @@ def stage1_image_align(output_dir: str = "./checkpoints/stage1") -> TrainConfig:
         model_max_length=8192,
         max_train_frames=1,
         unfreeze_mm_compressor=False,
+        loss_chunk=512,  # B=8 x 8k x 128k-vocab f32 logits would be ~33 GB
         report_to="tensorboard",
     )
 
@@ -46,6 +47,7 @@ def stage2_video_sft(output_dir: str = "./checkpoints/stage2") -> TrainConfig:
         model_max_length=8192,
         max_train_frames=224,
         group_by_modality_length=True,
+        loss_chunk=512,  # chunked CE: 8k x 128k-vocab f32 logits never live
         report_to="tensorboard",
     )
 
@@ -65,6 +67,7 @@ def stage3_audio_lora(output_dir: str = "./checkpoints/stage3") -> TrainConfig:
         save_total_limit=1,
         model_max_length=8192,
         max_train_frames=224,
+        loss_chunk=512,  # chunked CE (models/lm.lm_loss) — fits 8k on one v5e
         lora_enable=True,
         lora_r=128,
         lora_alpha=256,
