@@ -74,13 +74,13 @@ def main():
 
     mode = sys.argv[1] if len(sys.argv) > 1 else "stage3"
     n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 6
-    T = int(sys.argv[3]) if len(sys.argv) > 3 else (128 if mode == "stage3" else 1)
+    T = int(sys.argv[3]) if len(sys.argv) > 3 else (1 if mode == "stage1" else 128)
 
-    audio = mode == "stage3"
+    audio = mode.startswith("stage3")
     cfg = C.tdc_llama32_3b(audio=audio) if audio else C.tdc_llama32_3b()
     cfg = dataclasses.replace(cfg, param_dtype=jnp.bfloat16)
 
-    if mode == "stage3":
+    if mode.startswith("stage3"):
         B = 1
         L = int(sys.argv[4]) if len(sys.argv) > 4 else 8192
         MAX_VIS = min(4096, L // 2)
@@ -90,6 +90,10 @@ def main():
             gradient_accumulation_steps=2, model_max_length=L,
             max_visual_len=MAX_VIS, report_to="none", logging_steps=10**9,
             save_steps=10**9, loss_chunk=512,
+            # "stage3-int8": frozen base as weight-only int8 (QLoRA analog) —
+            # the bf16 base + opt state alone is 14.6 GB of args on a
+            # 15.75 GB chip (XLA memory dump, PERF.md round 5)
+            quantize_frozen="int8" if mode == "stage3-int8" else None,
         )
     else:
         B, L = 8, 1024
@@ -99,7 +103,7 @@ def main():
             learning_rate=4e-5, tune_mm_mlp_adapter=True,
             unfreeze_mm_compressor=False, gradient_accumulation_steps=1,
             model_max_length=L, max_visual_len=MAX_VIS, report_to="none",
-            logging_steps=10**9, save_steps=10**9,
+            logging_steps=10**9, save_steps=10**9, loss_chunk=256,
         )
 
     print(f"{mode}: Llama-3.2-3B bf16, B={B} L={L} T={T} frames "

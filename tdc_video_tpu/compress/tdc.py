@@ -121,59 +121,75 @@ def compress_video(
 
     chunk_id, pos_in_chunk, num_chunks = assign_chunks(boundary, frame_mask, n)
 
-    # Scatter frames into chunk slots; invalid frames land in a trash row MC.
-    row = jnp.where(frame_mask, chunk_id, MC)
-    chunk_feats = jnp.zeros((MC + 1, n, P + A, H), tokens.dtype)
-    chunk_feats = chunk_feats.at[row, pos_in_chunk].set(tokens)
-    chunk_frame_valid = jnp.zeros((MC + 1, n), jnp.bool_)
-    chunk_frame_valid = chunk_frame_valid.at[row, pos_in_chunk].set(frame_mask)
-    chunk_valid = chunk_frame_valid[:, 0]  # a chunk exists iff slot 0 is filled
-
-    key_block = chunk_feats[:, 0]  # [MC+1, P+A, H] static frame (incl. audio)
-    key_visual = key_block[:, :P]  # visual-only for the pooled query (:1609 before :1614)
-
-    if c.add_static:
-        others = chunk_feats[:, 1:]  # [MC+1, n-1, P+A, H]
-        others_valid = chunk_frame_valid[:, 1:]
+    if c.add_static and T == 1:
+        # Single image (1-frame "video"): the lone frame IS chunk 0's static
+        # block; every (chunk, subsequent-frame) slot is invalid, so the
+        # Q-Former output never reaches the emission.  Skip the chunk scatter
+        # AND the Q-Former statically — this is the reference's image path,
+        # which runs no compression at all (cambrian_arch.py:1195-1345) —
+        # instead of scattering into a [MC+1, n, P+A, H] buffer (3.2 GB at
+        # the stage-1 batch) and running (MC+1)*(n-1) rows of masked garbage
+        # through 12 layers and their backward (~20 GB of saved internals,
+        # PERF.md round 5).
         n_comp = n - 1
+        key_block = jnp.zeros((MC + 1, P + A, H), tokens.dtype).at[0].set(tokens[0])
+        chunk_valid = jnp.zeros((MC + 1,), jnp.bool_).at[0].set(frame_mask[0])
+        others_valid = jnp.zeros((MC + 1, n_comp), jnp.bool_)
+        comp = jnp.zeros((MC + 1, n_comp, K, H), tokens.dtype)
     else:
-        others = chunk_feats
-        others_valid = chunk_frame_valid
-        n_comp = n
+        # Scatter frames into chunk slots; invalid frames land in a trash row MC.
+        row = jnp.where(frame_mask, chunk_id, MC)
+        chunk_feats = jnp.zeros((MC + 1, n, P + A, H), tokens.dtype)
+        chunk_feats = chunk_feats.at[row, pos_in_chunk].set(tokens)
+        chunk_frame_valid = jnp.zeros((MC + 1, n), jnp.bool_)
+        chunk_frame_valid = chunk_frame_valid.at[row, pos_in_chunk].set(frame_mask)
+        chunk_valid = chunk_frame_valid[:, 0]  # a chunk exists iff slot 0 is filled
 
-    # --- Query construction (reference :1633-1640) ---
-    if c.query_type == "Avg_pool":
-        if query_pool is None:
-            pooled = adaptive_avg_pool_tokens(key_visual, K)  # [MC+1, K, H]
+        key_block = chunk_feats[:, 0]  # [MC+1, P+A, H] static frame (incl. audio)
+        key_visual = key_block[:, :P]  # visual-only for the pooled query (:1609 before :1614)
+
+        if c.add_static:
+            others = chunk_feats[:, 1:]  # [MC+1, n-1, P+A, H]
+            others_valid = chunk_frame_valid[:, 1:]
+            n_comp = n - 1
         else:
-            pooled = jnp.einsum(
-                "kp,mpc->mkc", query_pool.astype(jnp.float32),
-                key_visual.astype(jnp.float32),
-            ).astype(key_visual.dtype)
-        query = linear(params["query_proj"], pooled)  # [MC+1, K, 768]
-    else:
-        query = jnp.broadcast_to(
-            params["query_tokens"].astype(dtype)[None], (MC + 1, K, params["query_tokens"].shape[-1])
-        )
-    query = jnp.broadcast_to(query[:, None], (MC + 1, n_comp, K, query.shape[-1]))
+            others = chunk_feats
+            others_valid = chunk_frame_valid
+            n_comp = n
 
-    # --- One batched Q-Former pass over all (chunk, frame) pairs ---
-    B = (MC + 1) * n_comp
-    enc = others.reshape(B, P + A, H)
-    enc_mask = others_valid[..., None] & token_valid_pa[None, None]
-    enc_mask = jnp.broadcast_to(enc_mask, (MC + 1, n_comp, P + A)).reshape(B, P + A)
-    q_flat = query.reshape(B, K, -1)
-    if c.text_input and text_ids is not None:
-        ids_b = jnp.broadcast_to(text_ids[None], (B, text_ids.shape[0]))
-        tmask_b = jnp.broadcast_to(text_mask[None], (B, text_mask.shape[0]))
-    else:
-        ids_b = tmask_b = None
-    out = qformer_forward(
-        cfg.qformer, params["qformer"], q_flat, ids_b, tmask_b, enc, enc_mask, dtype=dtype
-    )  # [B, K, 768]
-    comp = linear(params["vision_proj"], out)  # [B, K, H]
-    comp = comp / jnp.sqrt(jnp.sum(comp.astype(jnp.float32) ** 2, -1, keepdims=True) + 1e-12).astype(comp.dtype)
-    comp = comp.reshape(MC + 1, n_comp, K, H).astype(tokens.dtype)
+        # --- Query construction (reference :1633-1640) ---
+        if c.query_type == "Avg_pool":
+            if query_pool is None:
+                pooled = adaptive_avg_pool_tokens(key_visual, K)  # [MC+1, K, H]
+            else:
+                pooled = jnp.einsum(
+                    "kp,mpc->mkc", query_pool.astype(jnp.float32),
+                    key_visual.astype(jnp.float32),
+                ).astype(key_visual.dtype)
+            query = linear(params["query_proj"], pooled)  # [MC+1, K, 768]
+        else:
+            query = jnp.broadcast_to(
+                params["query_tokens"].astype(dtype)[None], (MC + 1, K, params["query_tokens"].shape[-1])
+            )
+        query = jnp.broadcast_to(query[:, None], (MC + 1, n_comp, K, query.shape[-1]))
+
+        # --- One batched Q-Former pass over all (chunk, frame) pairs ---
+        B = (MC + 1) * n_comp
+        enc = others.reshape(B, P + A, H)
+        enc_mask = others_valid[..., None] & token_valid_pa[None, None]
+        enc_mask = jnp.broadcast_to(enc_mask, (MC + 1, n_comp, P + A)).reshape(B, P + A)
+        q_flat = query.reshape(B, K, -1)
+        if c.text_input and text_ids is not None:
+            ids_b = jnp.broadcast_to(text_ids[None], (B, text_ids.shape[0]))
+            tmask_b = jnp.broadcast_to(text_mask[None], (B, text_mask.shape[0]))
+        else:
+            ids_b = tmask_b = None
+        out = qformer_forward(
+            cfg.qformer, params["qformer"], q_flat, ids_b, tmask_b, enc, enc_mask, dtype=dtype
+        )  # [B, K, 768]
+        comp = linear(params["vision_proj"], out)  # [B, K, H]
+        comp = comp / jnp.sqrt(jnp.sum(comp.astype(jnp.float32) ** 2, -1, keepdims=True) + 1e-12).astype(comp.dtype)
+        comp = comp.reshape(MC + 1, n_comp, K, H).astype(tokens.dtype)
 
     # --- Emission (reference :1617-1692) ---
     sep = params["frame_seg"].astype(tokens.dtype)

@@ -109,19 +109,30 @@ def encode_frames(
     dino_px: jnp.ndarray,  # [T, Hd, Wd, 3] normalized
     frame_indices: Optional[jnp.ndarray] = None,  # [T] for frame_pos
     attn_impl: str = "xla",
+    remat: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (frame_feats [T, P, H_lm], dino_feats [T, 576, C_dino]).
 
     Replaces encode_images + the SVA branch + per-frame newline of the
     reference (cambrian_arch.py:698-745, :964-1052, :1195-1345).  All frames
     run as one tower batch — the reference's chunk-64 loop is just batching.
+
+    remat=True (training): checkpoint the SVA aggregator so the backward
+    recomputes its internals from the tower features instead of keeping them
+    alive — SVA cross-attention buffers at T=128 frames are ~2.5 GB of the
+    stage-3 step's saved activations (PERF.md round 5).  The towers
+    themselves need no checkpoint when frozen: their input is data, so no
+    gradient ever flows through them (train/trainer.py _sg_frozen).
     """
     dt = cfg.dtype
     dino_feats = vit_forward(cfg.dino, params["dino"], dino_px, attn_impl=attn_impl, dtype=dt)
     siglip_feats = vit_forward(
         cfg.siglip, params["siglip"], siglip_px, attn_impl=attn_impl, dtype=dt
     )
-    feats = sva_forward(cfg.sva, params["sva"], [siglip_feats, dino_feats])  # [T, 144, H]
+    sva_fn = lambda p, feats: sva_forward(cfg.sva, p, feats)
+    if remat:
+        sva_fn = jax.checkpoint(sva_fn)
+    feats = sva_fn(params["sva"], [siglip_feats, dino_feats])  # [T, 144, H]
 
     T = feats.shape[0]
     side = cfg.sva.final_side_len
@@ -238,10 +249,17 @@ def prepare_multimodal_inputs(
     max_len: int = 4096,
     max_visual_len: int = 2048,
     attn_impl: str = "xla",
+    remat_encode: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Batched equivalent of prepare_inputs_labels_for_multimodal
     (cambrian_arch.py:864-1844): returns dict(embeds [B, max_len, H],
-    attn_mask, labels, seq_len)."""
+    attn_mask, labels, seq_len).
+
+    remat_encode=True (training): checkpoint the audio encoder, the SVA
+    aggregator and the segment+compress stage so only their INPUTS (tower
+    features, pooled audio) are saved for the backward — the Q-Former /
+    SVA internals otherwise kept alive for the vjp through the (frozen or
+    trainable) compressor dominate training memory (PERF.md round 5)."""
     B, T = frame_mask.shape
     if frame_indices is None and cfg.compression.frame_pos:
         # positional fallback when the caller has no timestamps (reference
@@ -252,9 +270,12 @@ def prepare_multimodal_inputs(
         # In-graph audio encode (training: gradients reach BEATs/audio_proj
         # when unfrozen; reference encodes audio inside forward,
         # cambrian_arch.py:1547-1560)
-        audio_tokens = jax.vmap(
-            lambda w, wm, f, p_, g, sv: encode_audio(cfg, params, w, wm, f, p_, g, T, sv)
-        )(
+        _enc_audio = lambda w, wm, f, p_, g, sv: encode_audio(
+            cfg, params, w, wm, f, p_, g, T, sv
+        )
+        if remat_encode:
+            _enc_audio = jax.checkpoint(_enc_audio)
+        audio_tokens = jax.vmap(_enc_audio)(
             audio_windows,
             audio_wmask,
             audio_frame_of_sec,
@@ -267,7 +288,8 @@ def prepare_multimodal_inputs(
     flat_dino = dino_px.reshape((B * T,) + dino_px.shape[2:])
     flat_idx = None if frame_indices is None else frame_indices.reshape(B * T)
     frame_feats, dino_feats = encode_frames(
-        cfg, params, flat_sig, flat_dino, frame_indices=flat_idx, attn_impl=attn_impl
+        cfg, params, flat_sig, flat_dino, frame_indices=flat_idx,
+        attn_impl=attn_impl, remat=remat_encode,
     )
     P = frame_feats.shape[1]
     frame_feats = frame_feats.reshape(B, T, P, -1)
@@ -291,6 +313,7 @@ def prepare_multimodal_inputs(
         query_pool=query_pool,
         max_len=max_len,
         max_visual_len=max_visual_len,
+        remat_encode=remat_encode,
     )
 
 
@@ -312,6 +335,7 @@ def prepare_multimodal_from_features(
     query_pool: Optional[jnp.ndarray] = None,
     max_len: int = 4096,
     max_visual_len: int = 2048,
+    remat_encode: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Compression + splice over PRE-ENCODED frame features: lets callers
     (eval predictor, LVCoT, multi-question videos) encode a video once and
@@ -334,6 +358,12 @@ def prepare_multimodal_from_features(
             cfg, params, ff, df, fm, tid, tmask, atok,
             max_visual_len=max_visual_len, token_valid=tv, query_pool=qp,
         )
+
+    if remat_encode:
+        # backward through the (frozen or trainable) Q-Former to the
+        # trainable projector keeps ~6 GB of qformer internals alive at
+        # stage-1 shapes without this checkpoint (PERF.md round 5)
+        one = jax.checkpoint(one)
 
     if audio_tokens is None:
         visual, n_visual = jax.vmap(
@@ -465,6 +495,7 @@ def tdc_loss(
         max_len=max_len,
         max_visual_len=max_visual_len,
         attn_impl=attn_impl,
+        remat_encode=remat,
     )
     return lm_mod.lm_loss(
         cfg.lm,

@@ -119,6 +119,12 @@ def linear(p: Params, x: jnp.ndarray, dtype=None, act_quant: bool = False) -> jn
         else:
             y = x @ p["w_q"].astype(x.dtype)
             y = y * p["w_scale"].astype(y.dtype)
+        if "lora_a" in p:
+            # QLoRA-style training: LoRA deltas ride on a frozen int8 base
+            # (train/trainer.py quantize_frozen).  The delta path stays
+            # full-precision; gradients flow to A/B through the two thin
+            # gemms while the int8 weight is a constant.
+            y = y + (x @ p["lora_a"].astype(x.dtype)) @ p["lora_b"].astype(x.dtype)
         if "b" in p:
             y = y + p["b"].astype(y.dtype)
         return y

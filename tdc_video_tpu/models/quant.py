@@ -127,3 +127,25 @@ def dequantize_linear(p: Params, dtype=jnp.float32) -> Params:
     if "b" in p:
         out["b"] = p["b"]
     return out
+
+
+def dequantize_tree_int8(params: Params, dtype=jnp.float32) -> Params:
+    """Walk a module tree and invert every int8 linear back to float
+    ({"w_q", "w_scale"} -> {"w"}).  Used at export time for QLoRA-style
+    training (train/trainer.py quantize_frozen): merge_lora_params needs
+    float "w" leaves to bake the deltas into, and merging into the
+    dequantized values matches the weights the adapter was trained against.
+    Non-linear leaves (act_scale tables, norms, embeddings) pass through."""
+
+    def rec(tree):
+        if isinstance(tree, dict):
+            if "w_q" in tree:
+                out = dequantize_linear(tree, dtype=dtype)
+                for k, v in tree.items():
+                    if k not in ("w_q", "w_scale", "b"):
+                        out[k] = v
+                return out
+            return {k: rec(v) for k, v in tree.items()}
+        return tree
+
+    return rec(params)

@@ -30,7 +30,10 @@ def _names(path) -> Tuple[str, ...]:
 
 def _is_target(path, targets) -> bool:
     names = _names(path)
-    return names[-1] == "w" and any(n in targets for n in names)
+    # "w_q": LoRA over an int8-quantized frozen base (QLoRA analog —
+    # models/quant.py + TrainConfig.quantize_frozen); A/B shapes match since
+    # w_q keeps the float weight's [.., in, out] layout
+    return names[-1] in ("w", "w_q") and any(n in targets for n in names)
 
 
 def init_lora(
@@ -62,6 +65,10 @@ def apply_lora(params: Any, lora: Any, alpha: float, rank: int) -> Any:
     def merge(path, p):
         key = "/".join(_names(path))
         l = lora.get(key)
+        if l is None and key.endswith("/w"):
+            # adapters initialized against an int8 base store ".../w_q" keys;
+            # after dequantize_tree_int8 the leaf is ".../w" again
+            l = lora.get(key + "_q")
         if l is None:
             return p
         delta = jnp.einsum("...ir,...ro->...io", l["a"].astype(jnp.float32), l["b"].astype(jnp.float32))

@@ -44,6 +44,12 @@ def main(argv=None):
         "--report_to", default=None, choices=["jsonl", "tensorboard", "none"],
         help="override the stage preset's metrics sink",
     )
+    ap.add_argument(
+        "--quantize_frozen", default=None, choices=["int8"],
+        help="store the frozen base (LM minus embeddings, frozen towers) as "
+        "weight-only int8 during LoRA training (QLoRA analog) — fits the "
+        "stage-3 reference shape on one 16 GB v5e chip (PERF.md round 5)",
+    )
     args = ap.parse_args(argv)
 
     if args.coordinator:
@@ -71,6 +77,8 @@ def main(argv=None):
         overrides["per_device_train_batch_size"] = args.batch_size
     if args.report_to is not None:
         overrides["report_to"] = args.report_to
+    if args.quantize_frozen is not None:
+        overrides["quantize_frozen"] = args.quantize_frozen
     tcfg = dataclasses.replace(tcfg, output_dir=args.output_dir, **overrides)
 
     tokenizer, model, _, _ = load_pretrained_model(args.model_path)

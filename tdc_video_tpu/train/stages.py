@@ -55,7 +55,13 @@ def stage2_video_sft(output_dir: str = "./checkpoints/stage2") -> TrainConfig:
 def stage3_audio_lora(output_dir: str = "./checkpoints/stage3") -> TrainConfig:
     """Audio+video LoRA (scripts/stage3/train_video_audio_qwen_lora.sh):
     lora r=128 alpha=256, lr 5e-6 (DeepSpeed zero0 in the reference — here
-    plain data-parallel since LoRA states are tiny)."""
+    plain data-parallel since LoRA states are tiny).
+
+    Single-chip note: the bf16 3B base + towers + opt state is ~14.6 GB of
+    resident arguments — over a 16 GB v5e on its own.  Pass
+    `--quantize_frozen int8` (TrainConfig.quantize_frozen) to store the
+    frozen base as weight-only int8 (QLoRA analog) and train this stage on
+    one chip; on a mesh the default bf16 base shards via FSDP instead."""
     return TrainConfig(
         output_dir=output_dir,
         learning_rate=5e-6,

@@ -78,6 +78,13 @@ class TrainConfig:
     lora_enable: bool = False
     lora_r: int = 128
     lora_alpha: int = 256
+    # QLoRA-style: store the FROZEN base (LM minus embeddings, fully-frozen
+    # towers/BEATs) as weight-only int8 ("int8") instead of bf16 — halves the
+    # resident base bytes (3B: 9.5 -> ~5 GB), which is what lets the stage-3
+    # reference shape train on one 16 GB v5e chip (PERF.md round 5).  LoRA
+    # deltas stay full precision (models/layers.linear "w_q"+"lora_a" path).
+    # Requires lora_enable.  None = keep the base in param_dtype.
+    quantize_frozen: Optional[str] = None
 
     # shapes
     model_max_length: int = 8192
@@ -243,6 +250,28 @@ class Trainer:
             key = lora_key if lora_key is not None else jax.random.PRNGKey(tcfg.seed)
             self.lora = lora_lib.init_lora(key, params["lm"], tcfg.lora_r)
 
+        if tcfg.quantize_frozen is not None:
+            if tcfg.quantize_frozen != "int8":
+                raise ValueError(f"quantize_frozen: {tcfg.quantize_frozen!r}")
+            if not tcfg.lora_enable:
+                # full-precision optimizer state over int8 leaves is not a
+                # thing; the frozen-base recipe is LoRA-only (QLoRA analog)
+                raise ValueError("quantize_frozen requires lora_enable")
+            from ..models.quant import quantize_lm_int8, quantize_tree_int8
+
+            mask0 = trainable_mask(params, tcfg)
+            params = dict(params)
+            # LM is always frozen under LoRA; embeddings stay float (gathered,
+            # not streamed — and tied heads reuse the float table)
+            params["lm"] = quantize_lm_int8(params["lm"])
+            for mod in ("siglip", "dino"):
+                # towers only when FULLY frozen (W8A8 dynamic — the serving
+                # tower path; gradients never flow through them: their input
+                # is data).  BEATs keeps float weights: its conv feature
+                # extractor has non-[in,out] leaves and it is only ~0.2 GB.
+                if mod in params and not any(jax.tree_util.tree_leaves(mask0[mod])):
+                    params[mod] = quantize_tree_int8(params[mod])
+
         self.p_spec = tdc_param_spec(params, fsdp_size=self.n_data)
         self.params = shard_tree(params, self.p_spec, mesh)
 
@@ -309,12 +338,30 @@ class Trainer:
 
     # -- the jitted step -------------------------------------------------------
 
+    def _sg_frozen(self, tree, mask):
+        """stop_gradient on frozen leaves.  Without this the non-LoRA path
+        differentiates wrt EVERY leaf (the optax mask only zeroes the result
+        after the fact), so XLA runs a full backward through frozen towers /
+        Q-Former and keeps their internals alive for it — measured as ~7 GB
+        of saved activations in the stage-1 adapter tune (qformer reshapes +
+        attention probs, PERF.md round 5).  stop_gradient prunes those
+        branches out of the autodiff graph entirely; the optimizer tree and
+        the optax mask are unchanged (frozen grads come back as zeros)."""
+        return jax.tree_util.tree_map(
+            lambda p, m: p if m else jax.lax.stop_gradient(p), tree, mask
+        )
+
     def _loss_fn(self, opt_params, frozen_params, batch):
         if self.lora is None:
-            params = opt_params
+            params = self._sg_frozen(opt_params, self.mask)
         else:
             params = dict(frozen_params)
-            params.update(opt_params["extra"])
+            params.update(
+                {
+                    k: self._sg_frozen(opt_params["extra"][k], self.mask[k])
+                    for k in self._extra_keys
+                }
+            )
             # runtime LoRA: A/B graft beside each weight and apply at matmul
             # time (layers.linear) — the old in-graph apply_lora merge held an
             # f32 delta + a second full LM copy (+12 GB at 3B; PERF.md r5)
@@ -524,8 +571,18 @@ class Trainer:
         if self.lora is None:
             return self.params
         out = dict(self.params)
+        if self.tcfg.quantize_frozen is not None:
+            # QLoRA export: dequantize back to float first — apply_lora needs
+            # "w" leaves, and merging into the dequantized values matches the
+            # base the adapter was actually trained against
+            from ..models.quant import dequantize_tree_int8
+
+            out = {
+                k: dequantize_tree_int8(v, dtype=self.cfg.param_dtype)
+                for k, v in out.items()
+            }
         out["lm"] = lora_lib.merge_lora_params(
-            self.params["lm"], self.lora, self.tcfg.lora_alpha, self.tcfg.lora_r
+            out["lm"], self.lora, self.tcfg.lora_alpha, self.tcfg.lora_r
         )
         return out
 

@@ -410,3 +410,32 @@ def test_bf16_compression_drift_bound():
         np.linalg.norm(a, axis=-1) * np.linalg.norm(c, axis=-1) + 1e-9
     )
     assert cos.min() > 0.995, cos.min()
+
+
+def test_single_frame_skips_qformer_statically():
+    """With T=1 and add_static, compress_video skips the Q-Former entirely
+    (every compressed slot is masked invalid, so its output is unreachable —
+    the reference's image path runs no compression at all,
+    cambrian_arch.py:1195-1345).  The skip must be a pure no-op: perturbing
+    every compressor weight except frame_seg cannot change the output."""
+    cfg = tdc_tiny()
+    params = tdc_mod.init_compressor(jax.random.PRNGKey(0), cfg, jnp.float32)
+    P, H = 12, cfg.lm.hidden_size
+    feats = jnp.asarray(
+        np.random.default_rng(1).normal(0, 1, (1, P, H)), jnp.float32
+    )
+    args = (feats, jnp.ones((1,), bool), jnp.ones((1,), bool), None, None)
+    v1, n1 = tdc_mod.compress_video(cfg, params, *args, max_visual_len=32)
+    perturbed = dict(params)
+    perturbed["qformer"] = jax.tree_util.tree_map(
+        lambda x: x + 1.0, params["qformer"]
+    )
+    perturbed["query_proj"] = jax.tree_util.tree_map(
+        lambda x: x + 1.0, params["query_proj"]
+    )
+    perturbed["vision_proj"] = jax.tree_util.tree_map(
+        lambda x: x + 1.0, params["vision_proj"]
+    )
+    v2, n2 = tdc_mod.compress_video(cfg, perturbed, *args, max_visual_len=32)
+    assert int(n1) == int(n2) == P + 1
+    np.testing.assert_array_equal(np.asarray(v1[: P + 1]), np.asarray(v2[: P + 1]))

@@ -414,3 +414,133 @@ class TestPrefetchFit:
 
         with pytest.raises(RuntimeError, match="corrupt shard"):
             tr.fit(gen())
+
+
+class TestQuantizedFrozenBase:
+    """QLoRA-style stage-3: the FROZEN base stored as weight-only int8
+    (TrainConfig.quantize_frozen="int8") with full-precision LoRA deltas
+    riding on it at matmul time (models/layers.linear "w_q"+"lora_a").
+    This is what fits the stage-3 reference shape on one 16 GB v5e chip:
+    the bf16 base + optimizer state alone is 14.6 GB of arguments
+    (XLA memory dump, PERF.md round 5)."""
+
+    def test_linear_int8_lora_exact_decomposition(self):
+        from tdc_video_tpu.models.layers import linear
+        from tdc_video_tpu.models.quant import quantize_linear_int8
+
+        rng = np.random.default_rng(0)
+        p = {"w": jnp.asarray(rng.normal(0, 0.1, (16, 24)), jnp.float32)}
+        q = quantize_linear_int8(p)
+        q["lora_a"] = jnp.asarray(rng.normal(0, 0.1, (16, 4)), jnp.float32)
+        q["lora_b"] = jnp.asarray(rng.normal(0, 0.1, (4, 24)), jnp.float32)
+        x = jnp.asarray(rng.normal(0, 1, (3, 16)), jnp.float32)
+        base = linear({"w_q": q["w_q"], "w_scale": q["w_scale"]}, x)
+        delta = (x @ q["lora_a"]) @ q["lora_b"]
+        np.testing.assert_allclose(
+            np.asarray(linear(q, x)), np.asarray(base + delta), rtol=1e-5, atol=1e-5
+        )
+        # gradients w.r.t. A/B match the float-base formula: the int8 weight
+        # is a constant, so d/dA (x@A)@B is independent of the base repr
+        def s(ab, base_p):
+            pp = dict(base_p, lora_a=ab["a"], lora_b=ab["b"])
+            return linear(pp, x).sum()
+
+        ab = {"a": q["lora_a"], "b": q["lora_b"]}
+        g_int8 = jax.grad(s)(ab, {"w_q": q["w_q"], "w_scale": q["w_scale"]})
+        from tdc_video_tpu.models.quant import dequantize_linear
+
+        g_float = jax.grad(s)(ab, dequantize_linear(q))
+        np.testing.assert_allclose(
+            np.asarray(g_int8["a"]), np.asarray(g_float["a"]), rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_int8["b"]), np.asarray(g_float["b"]), rtol=1e-5, atol=1e-6
+        )
+
+    def test_trainer_int8_frozen_trains_and_exports_float(self, tmp_path):
+        cfg = tdc_tiny()
+        params = init_tdc(jax.random.PRNGKey(0), cfg)
+        tcfg = TrainConfig(
+            output_dir=str(tmp_path),
+            learning_rate=1e-2,
+            warmup_ratio=0.0,
+            lora_enable=True,
+            lora_r=4,
+            lora_alpha=8,
+            quantize_frozen="int8",
+            gradient_accumulation_steps=1,
+            model_max_length=128,
+            max_visual_len=64,
+            loss_chunk=32,
+        )
+        tr = Trainer(cfg, tcfg, params, total_steps=4)
+        # the resident base is int8 (LM projections + fully-frozen towers)
+        assert tr.params["lm"]["layers"]["q_proj"]["w_q"].dtype == jnp.int8
+        assert tr.params["siglip"]["layers"]["q_proj"]["w_q"].dtype == jnp.int8
+        wq0 = np.asarray(tr.params["lm"]["layers"]["q_proj"]["w_q"]).copy()
+        batch = _batch(cfg)
+        losses = [float(tr.train_step(batch)) for _ in range(4)]
+        assert np.isfinite(losses[-1])
+        assert losses[-1] < losses[0] - 1e-3  # learning through the int8 base
+        np.testing.assert_array_equal(
+            wq0, np.asarray(tr.params["lm"]["layers"]["q_proj"]["w_q"])
+        )
+        assert np.abs(np.asarray(tr.lora["layers/q_proj/w"]["b"])).max() > 0
+        # export: dequantized float tree with the deltas baked in
+        merged = tr.export_merged()
+        assert all(
+            v.dtype != jnp.int8 for v in jax.tree_util.tree_leaves(merged)
+        )
+        from tdc_video_tpu.models.quant import dequantize_linear
+
+        deq = dequantize_linear(
+            tr.params["lm"]["layers"]["q_proj"], dtype=cfg.param_dtype
+        )["w"]
+        assert not np.array_equal(
+            np.asarray(merged["lm"]["layers"]["q_proj"]["w"]), np.asarray(deq)
+        )  # lora delta present
+
+    def test_quantize_frozen_requires_lora(self, tmp_path):
+        cfg = tdc_tiny()
+        params = init_tdc(jax.random.PRNGKey(0), cfg)
+        with pytest.raises(ValueError, match="lora"):
+            Trainer(
+                cfg,
+                TrainConfig(output_dir=str(tmp_path), quantize_frozen="int8"),
+                params,
+                total_steps=2,
+            )
+
+
+class TestEncodeRemat:
+    """remat_encode (model.py): checkpointing the SVA aggregator, the audio
+    encoder and the segment+compress stage must not change the loss value or
+    the gradients — it only trades backward-pass memory for recompute
+    (the saved Q-Former/SVA internals are ~7 GB at stage-1 shapes,
+    PERF.md round 5)."""
+
+    def test_loss_and_grad_identity(self):
+        from tdc_video_tpu.model import tdc_loss
+
+        cfg = tdc_tiny()
+        params = init_tdc(jax.random.PRNGKey(0), cfg)
+        batch = {k: jnp.asarray(v) for k, v in _batch(cfg).items()}
+
+        def loss(p, remat):
+            return tdc_loss(
+                cfg, p, batch, max_len=48, max_visual_len=24, remat=remat
+            )
+
+        v0, g0 = jax.value_and_grad(lambda p: loss(p, False))(params)
+        v1, g1 = jax.value_and_grad(lambda p: loss(p, True))(params)
+        np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+        flat0 = jax.tree_util.tree_leaves_with_path(g0)
+        flat1 = dict(jax.tree_util.tree_leaves_with_path(g1))
+        checked = 0
+        for path, leaf in flat0:
+            np.testing.assert_allclose(
+                np.asarray(leaf), np.asarray(flat1[path]), rtol=2e-4, atol=2e-5,
+                err_msg=str(path),
+            )
+            checked += 1
+        assert checked > 10
