@@ -89,7 +89,7 @@ def main():
             learning_rate=5e-6, lora_enable=True, lora_r=128, lora_alpha=256,
             gradient_accumulation_steps=2, model_max_length=L,
             max_visual_len=MAX_VIS, report_to="none", logging_steps=10**9,
-            save_steps=10**9, loss_chunk=512,
+            save_steps=10**9, loss_chunk=256,
             # "stage3-int8": frozen base as weight-only int8 (QLoRA analog) —
             # the bf16 base + opt state alone is 14.6 GB of args on a
             # 15.75 GB chip (XLA memory dump, PERF.md round 5)
@@ -111,9 +111,15 @@ def main():
           f"lora={tcfg.lora_enable}", flush=True)
 
     t0 = time.time()
-    params = init_tdc(jax.random.PRNGKey(0), cfg)
-    print(f"init: {time.time()-t0:.0f}s", flush=True)
-    trainer = Trainer(cfg, tcfg, params, total_steps=max(n_steps, 2))
+    # pass the freshly-initialized tree STRAIGHT into the trainer: under
+    # quantize_frozen the trainer replaces the float base with int8, and a
+    # caller-held reference would keep the original bf16 tree (9.5 GB at 3B)
+    # resident through optimizer-state init — a runtime OOM the compile-time
+    # memory assignment never sees
+    trainer = Trainer(
+        cfg, tcfg, init_tdc(jax.random.PRNGKey(0), cfg), total_steps=max(n_steps, 2)
+    )
+    print(f"init+trainer: {time.time()-t0:.0f}s", flush=True)
 
     rng = np.random.default_rng(0)
     labels = np.full((B, L), -100, np.int32)
@@ -142,6 +148,30 @@ def main():
             "audio_group_size": np.ones((B, T), np.int32),
             "audio_sec_valid": (np.arange(S) < secs)[None].repeat(B, 0),
         })
+
+    if os.environ.get("PROBE_MEM"):
+        # AOT compile + memory_analysis WITHOUT executing: shows the
+        # compiler's exact argument/output/temp accounting even when the
+        # program fits assignment but OOMs at runtime (resident buffers the
+        # assignment never sees).
+        padded = trainer._pad_batch(batch)
+        jstep, b_spec = trainer._make_step(padded)
+        import jax.numpy as jnp2
+        from tdc_video_tpu.parallel.sharding import shard_tree as _st
+        b = {k: jnp.asarray(v) for k, v in padded.items()}
+        frozen = {
+            k: v for k, v in trainer.params.items()
+            if trainer.lora is None or k not in trainer._extra_keys
+        } if trainer.lora is not None else {}
+        with trainer.mesh:
+            lowered = jstep.lower(trainer._opt_params(), frozen, trainer.opt_state, b)
+            compiled = lowered.compile()
+        ma = compiled.memory_analysis()
+        print(f"memory_analysis: {ma}", flush=True)
+        for name in dir(ma):
+            if name.endswith("_size_in_bytes"):
+                print(f"  {name}: {getattr(ma, name)/2**30:.2f} GiB", flush=True)
+        return
 
     t0 = time.time()
     loss = trainer.train_step(batch)

@@ -96,6 +96,7 @@ def compress_video(
     dtype=jnp.float32,
     token_valid: Optional[jnp.ndarray] = None,  # [P] bool aspect mask (compress/aspect.py)
     query_pool: Optional[jnp.ndarray] = None,  # [K, P] masked pooling matrix
+    remat: bool = False,  # training: per-layer Q-Former checkpointing
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (visual [max_visual_len, H], n_visual scalar int32).
 
@@ -185,7 +186,8 @@ def compress_video(
         else:
             ids_b = tmask_b = None
         out = qformer_forward(
-            cfg.qformer, params["qformer"], q_flat, ids_b, tmask_b, enc, enc_mask, dtype=dtype
+            cfg.qformer, params["qformer"], q_flat, ids_b, tmask_b, enc, enc_mask,
+            dtype=dtype, remat=remat,
         )  # [B, K, 768]
         comp = linear(params["vision_proj"], out)  # [B, K, H]
         comp = comp / jnp.sqrt(jnp.sum(comp.astype(jnp.float32) ** 2, -1, keepdims=True) + 1e-12).astype(comp.dtype)

@@ -129,10 +129,32 @@ def encode_frames(
     siglip_feats = vit_forward(
         cfg.siglip, params["siglip"], siglip_px, attn_impl=attn_impl, dtype=dt
     )
-    sva_fn = lambda p, feats: sva_forward(cfg.sva, p, feats)
     if remat:
-        sva_fn = jax.checkpoint(sva_fn)
-    feats = sva_fn(params["sva"], [siglip_feats, dino_feats])  # [T, 144, H]
+        # SVA is per-frame independent; scan it over frame chunks with one
+        # checkpoint per chunk so the backward holds ~CH frames of SVA
+        # cross-attention internals instead of all T (4 x 576 MB f32 probs +
+        # 3 x 288 MB bf16 buffers at T=128 — PERF.md round 5).  The chunks
+        # are still MXU-sized (CH x 576 tokens per tower).
+        CH = 16
+        Tt = siglip_feats.shape[0]
+        pad = (-Tt) % CH
+        sig_p = jnp.pad(siglip_feats, ((0, pad),) + ((0, 0),) * (siglip_feats.ndim - 1))
+        dino_p = jnp.pad(dino_feats, ((0, pad),) + ((0, 0),) * (dino_feats.ndim - 1))
+
+        def chunk_fn(_, fd):
+            return None, sva_forward(cfg.sva, params["sva"], [fd[0], fd[1]])
+
+        _, out = jax.lax.scan(
+            jax.checkpoint(chunk_fn),
+            None,
+            (
+                sig_p.reshape((-1, CH) + sig_p.shape[1:]),
+                dino_p.reshape((-1, CH) + dino_p.shape[1:]),
+            ),
+        )
+        feats = out.reshape((-1,) + out.shape[2:])[:Tt]  # [T, 144, H]
+    else:
+        feats = sva_forward(cfg.sva, params["sva"], [siglip_feats, dino_feats])  # [T, 144, H]
 
     T = feats.shape[0]
     side = cfg.sva.final_side_len
@@ -198,6 +220,7 @@ def prepare_visual(
     max_visual_len: int = 4096,
     token_valid: Optional[jnp.ndarray] = None,  # [P] aspect mask (compress/aspect.py)
     query_pool: Optional[jnp.ndarray] = None,  # [K, P]
+    remat: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Segmentation + TDC compression for ONE video.  Returns
     (visual [max_visual_len, H], n_visual)."""
@@ -215,6 +238,7 @@ def prepare_visual(
         dtype=cfg.compress_dtype,
         token_valid=token_valid,
         query_pool=query_pool,
+        remat=remat,
     )
 
 
@@ -357,6 +381,7 @@ def prepare_multimodal_from_features(
         return prepare_visual(
             cfg, params, ff, df, fm, tid, tmask, atok,
             max_visual_len=max_visual_len, token_valid=tv, query_pool=qp,
+            remat=remat_encode,
         )
 
     if remat_encode:

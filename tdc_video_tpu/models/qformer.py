@@ -115,8 +115,15 @@ def qformer_forward(
     encoder_hidden: jnp.ndarray,  # [B, S, E]
     encoder_mask: Optional[jnp.ndarray] = None,  # [B, S] bool
     dtype=jnp.float32,
+    remat: bool = False,
 ) -> jnp.ndarray:
-    """Returns hidden states of the query positions [B, Q, H]."""
+    """Returns hidden states of the query positions [B, Q, H].
+
+    remat=True (training): checkpoint each layer so the backward holds one
+    layer's internals at a time instead of all 12 — the compress stage runs
+    hundreds of (chunk, frame) rows through this in one batch, and the saved
+    per-layer cross-attention K/V and FFN buffers dominate the train step's
+    HBM temp at video shapes (PERF.md round 5)."""
     B, Q, _ = query_embeds.shape
     emb = params["embeddings"]
     x = query_embeds.astype(dtype)
@@ -132,7 +139,7 @@ def qformer_forward(
         attn_key_mask = jnp.ones((B, Q), jnp.bool_)
     x = layer_norm(emb["norm"], x, cfg.layer_norm_eps)
 
-    for layer in params["layers"]:
+    def one_layer(layer, x):
         x = _attn_block(cfg, layer["self_attn"], x, x, attn_key_mask)
         q_part, t_part = x[:, :Q], x[:, Q:]
         if layer["cross_attn"] is not None:
@@ -142,8 +149,12 @@ def qformer_forward(
         q_part = _ffn_block(cfg, layer["ffn_query"], q_part)
         if x.shape[1] > Q:
             t_part = _ffn_block(cfg, layer["ffn"], t_part)
-            x = jnp.concatenate([q_part, t_part], axis=1)
-        else:
-            x = q_part
+            return jnp.concatenate([q_part, t_part], axis=1)
+        return q_part
+
+    if remat:
+        one_layer = jax.checkpoint(one_layer)
+    for layer in params["layers"]:
+        x = one_layer(layer, x)
 
     return x[:, :Q]

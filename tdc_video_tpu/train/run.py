@@ -107,6 +107,11 @@ def main(argv=None):
     total = tcfg.max_steps or steps_per_epoch * tcfg.num_train_epochs
 
     trainer = Trainer(model.cfg, tcfg, model.params, total_steps=total)
+    # the trainer owns (and under --quantize_frozen REPLACES) the param
+    # tree; drop the loader's reference so the original float base does not
+    # stay resident next to the int8 copy (9.5 GB at 3B — runtime OOM on a
+    # single chip, PERF.md round 5)
+    model.params = None
     start_step = 0
     if args.resume and trainer.restore_if_available():
         start_step = trainer.step

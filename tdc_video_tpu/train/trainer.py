@@ -424,13 +424,35 @@ class Trainer:
         batch = self._pad_batch(batch)
         if self._jstep is None:
             self._jstep, self._b_spec = self._make_step(batch)
+        # ship pixels in compute dtype: the towers cast them to cfg.dtype on
+        # arrival anyway, and f32 pixels at 128 frames are ~0.45 GB of
+        # resident arguments (PERF.md round 5).  Audio waveforms stay f32
+        # (the fbank frontend is an f32 reduction).
+        def _dev(k, v):
+            a = jnp.asarray(v)
+            if k.endswith("_px") and a.dtype == jnp.float32:
+                return a.astype(self.cfg.dtype)
+            return a
+
         b = shard_tree(
-            {k: jnp.asarray(v) for k, v in batch.items()}, self._b_spec, self.mesh
+            {k: _dev(k, v) for k, v in batch.items()}, self._b_spec, self.mesh
         )
         opt_params = self._opt_params()
+        # the frozen arg carries only what opt_params does not: the trainable
+        # extras would otherwise be RESIDENT TWICE (once donated in
+        # opt_params, once here), and in the non-LoRA path the whole tree
+        # rides in opt_params already (XLA keeps a second full copy for the
+        # non-donated alias otherwise — measured in the stage-3 arguments
+        # accounting, PERF.md round 5)
+        if self.lora is None:
+            frozen = {}
+        else:
+            frozen = {
+                k: v for k, v in self.params.items() if k not in self._extra_keys
+            }
         with self.mesh:
             opt_params, self.opt_state, loss = self._jstep(
-                opt_params, self.params, self.opt_state, b
+                opt_params, frozen, self.opt_state, b
             )
         if self.lora is None:
             self.params = opt_params
